@@ -1,0 +1,351 @@
+"""Native Flax DINOv2 vision encoder.
+
+A TPU-first reimplementation of the DINOv2 ViT (the reference consumes it via
+HuggingFace's FlaxDinov2Model, see /root/reference/hypervla/components/
+base_vit.py:76-77 and hypervla/model.py:543-565). The parameter tree matches
+HF's exactly (embeddings/encoder.layer.N/..., layernorm) so pretrained
+checkpoints convert 1:1, but the forward pass is written for XLA/TPU:
+
+  * static-shape position-embedding interpolation, traced once per resolution
+  * a single attention path with optional attention-prob output
+  * configurable compute dtype (bfloat16 recommended on TPU; params stay fp32)
+
+Output mirrors the HF interface subset the reference uses:
+`.last_hidden_state` and `.attentions`.
+"""
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hypervla_tpu.typing import Dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class DINOv2Config:
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    mlp_ratio: int = 4
+    patch_size: int = 14
+    image_size: int = 518  # resolution the position grid was trained at
+    num_channels: int = 3
+    layerscale_value: float = 1.0
+    layer_norm_eps: float = 1e-6
+    use_mask_token: bool = True
+    use_swiglu_ffn: bool = False
+    initializer_range: float = 0.02
+    hidden_dropout_prob: float = 0.0
+    attention_probs_dropout_prob: float = 0.0
+
+
+_NAMED_CONFIGS = {
+    # facebook/dinov2-{small,base,large,giant}
+    "dinov2-small": DINOv2Config(hidden_size=384, num_attention_heads=6),
+    "dinov2-base": DINOv2Config(hidden_size=768, num_attention_heads=12),
+    "dinov2-large": DINOv2Config(
+        hidden_size=1024, num_hidden_layers=24, num_attention_heads=16
+    ),
+    "dinov2-giant": DINOv2Config(
+        hidden_size=1536, num_hidden_layers=40, num_attention_heads=24,
+        use_swiglu_ffn=True,
+    ),
+}
+
+
+def dinov2_config(name: str) -> DINOv2Config:
+    key = name.split("/")[-1]
+    if key not in _NAMED_CONFIGS:
+        raise ValueError(f"unknown DINOv2 config {name}")
+    return _NAMED_CONFIGS[key]
+
+
+@dataclasses.dataclass
+class DINOv2Output:
+    last_hidden_state: jax.Array
+    attentions: Optional[Tuple[jax.Array, ...]] = None
+
+
+def _hf_init(initializer_range: float):
+    return jax.nn.initializers.variance_scaling(
+        initializer_range**2, "fan_in", "truncated_normal"
+    )
+
+
+class _PatchEmbeddings(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        c = self.config
+        x = nn.Conv(
+            c.hidden_size,
+            kernel_size=(c.patch_size, c.patch_size),
+            strides=(c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=_hf_init(c.initializer_range),
+            name="projection",
+        )(pixel_values)
+        return x.reshape(x.shape[0], -1, x.shape[-1])
+
+
+class _Embeddings(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixel_values, deterministic=True):
+        c = self.config
+        batch = pixel_values.shape[0]
+        height, width = pixel_values.shape[1], pixel_values.shape[2]
+        cls_token = self.param(
+            "cls_token", _hf_init(c.initializer_range), (1, 1, c.hidden_size)
+        )
+        if c.use_mask_token:
+            # kept for checkpoint compatibility; unused in the forward pass
+            self.param("mask_token", _hf_init(c.initializer_range), (1, c.hidden_size))
+        grid = c.image_size // c.patch_size
+        pos_emb = self.param(
+            "position_embeddings",
+            _hf_init(c.initializer_range),
+            (1, grid * grid + 1, c.hidden_size),
+        )
+
+        x = _PatchEmbeddings(c, dtype=self.dtype, name="patch_embeddings")(
+            pixel_values.astype(self.dtype)
+        )
+        cls = jnp.broadcast_to(cls_token, (batch, 1, c.hidden_size)).astype(x.dtype)
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + _interpolate_pos_encoding(c, x, height, width, pos_emb)
+        if c.hidden_dropout_prob > 0:
+            x = nn.Dropout(rate=c.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x
+
+
+def _interpolate_pos_encoding(config, hidden_states, height, width, position_embeddings):
+    """Bicubic resize of the trained position grid onto the current patch grid.
+
+    All shapes are static under jit, so this folds into the compiled program.
+    Matches HF's scale_and_translate call bit-for-bit (including the +0.1
+    fudge in the target extent) so cached pretrained outputs agree.
+    """
+    num_patches = hidden_states.shape[1] - 1
+    num_positions = position_embeddings.shape[1] - 1
+    if num_patches == num_positions and height == width:
+        return position_embeddings.astype(hidden_states.dtype)
+    class_pos = position_embeddings[:, :1]
+    patch_pos = position_embeddings[:, 1:]
+    dim = hidden_states.shape[-1]
+    h = height // config.patch_size
+    w = width // config.patch_size
+    src = int(math.sqrt(num_positions))
+    patch_pos = patch_pos.reshape(1, src, src, dim).transpose(0, 3, 1, 2)
+    scale = jnp.array(
+        [(h + 0.1) / src, (w + 0.1) / src], dtype=jnp.float32
+    )
+    patch_pos = jax.image.scale_and_translate(
+        patch_pos.astype(jnp.float32),
+        shape=(1, dim, h, w),
+        spatial_dims=(2, 3),
+        scale=scale,
+        translation=jnp.zeros(2, jnp.float32),
+        method="bicubic",
+        antialias=False,
+    )
+    patch_pos = patch_pos.transpose(0, 2, 3, 1).reshape(1, -1, dim)
+    out = jnp.concatenate([class_pos, patch_pos], axis=1)
+    return out.astype(hidden_states.dtype)
+
+
+class _SelfAttention(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, output_attentions=False):
+        c = self.config
+        head_dim = c.hidden_size // c.num_attention_heads
+        dense = lambda name: nn.Dense(
+            c.hidden_size,
+            dtype=self.dtype,
+            kernel_init=_hf_init(c.initializer_range),
+            name=name,
+        )
+        shape = hidden_states.shape[:2] + (c.num_attention_heads, head_dim)
+        q = dense("query")(hidden_states).reshape(shape)
+        k = dense("key")(hidden_states).reshape(shape)
+        v = dense("value")(hidden_states).reshape(shape)
+
+        q = q / jnp.sqrt(head_dim).astype(self.dtype)
+        attn_weights = jnp.einsum("...qhd,...khd->...hqk", q, k)
+        attn_weights = jax.nn.softmax(attn_weights, axis=-1)
+        attn_output = jnp.einsum("...hqk,...khd->...qhd", attn_weights, v)
+        attn_output = attn_output.reshape(attn_output.shape[:2] + (-1,))
+        if output_attentions:
+            return attn_output, attn_weights
+        return (attn_output,)
+
+
+class _Attention(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, output_attentions=False):
+        outputs = _SelfAttention(self.config, dtype=self.dtype, name="attention")(
+            hidden_states, output_attentions=output_attentions
+        )
+        attn = _SelfOutput(self.config, dtype=self.dtype, name="output")(outputs[0])
+        return (attn,) + outputs[1:]
+
+
+class _SelfOutput(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states):
+        return nn.Dense(
+            self.config.hidden_size,
+            kernel_init=_hf_init(self.config.initializer_range),
+            dtype=self.dtype,
+            name="dense",
+        )(hidden_states)
+
+
+class _LayerScale(nn.Module):
+    config: DINOv2Config
+
+    @nn.compact
+    def __call__(self, x):
+        lambda1 = self.param(
+            "lambda1", nn.initializers.ones, (self.config.hidden_size,)
+        )
+        return (self.config.layerscale_value * lambda1) * x
+
+
+class _MLP(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        x = nn.Dense(
+            c.hidden_size * c.mlp_ratio,
+            kernel_init=_hf_init(c.initializer_range),
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(
+            c.hidden_size,
+            kernel_init=_hf_init(c.initializer_range),
+            dtype=self.dtype,
+            name="fc2",
+        )(x)
+
+
+class _SwiGLUFFN(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        hidden = int(c.hidden_size * c.mlp_ratio * 2 / 3 + 7) // 8 * 8
+        x12 = nn.Dense(
+            2 * hidden, kernel_init=_hf_init(c.initializer_range),
+            dtype=self.dtype, name="weights_in",
+        )(x)
+        x1, x2 = jnp.split(x12, 2, axis=-1)
+        return nn.Dense(
+            c.hidden_size, kernel_init=_hf_init(c.initializer_range),
+            dtype=self.dtype, name="weights_out",
+        )(nn.silu(x1) * x2)
+
+
+class _Layer(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, output_attentions=False):
+        c = self.config
+        normed = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
+                              name="norm1")(hidden_states)
+        attn_outputs = _Attention(c, dtype=self.dtype, name="attention")(
+            normed, output_attentions=output_attentions
+        )
+        attn = _LayerScale(c, name="layer_scale1")(attn_outputs[0])
+        hidden_states = attn + hidden_states
+
+        y = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="norm2")(
+            hidden_states
+        )
+        if c.use_swiglu_ffn:
+            y = _SwiGLUFFN(c, dtype=self.dtype, name="mlp")(y)
+        else:
+            y = _MLP(c, dtype=self.dtype, name="mlp")(y)
+        y = _LayerScale(c, name="layer_scale2")(y)
+        return (y + hidden_states,) + attn_outputs[1:]
+
+
+class _LayerCollection(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, output_attentions=False):
+        all_attentions = () if output_attentions else None
+        for i in range(self.config.num_hidden_layers):
+            outputs = _Layer(self.config, dtype=self.dtype, name=str(i))(
+                hidden_states, output_attentions=output_attentions
+            )
+            hidden_states = outputs[0]
+            if output_attentions:
+                all_attentions += (outputs[1],)
+        return hidden_states, all_attentions
+
+
+class _Encoder(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, output_attentions=False):
+        return _LayerCollection(self.config, dtype=self.dtype, name="layer")(
+            hidden_states, output_attentions=output_attentions
+        )
+
+
+class DINOv2Model(nn.Module):
+    """DINOv2 trunk. Input NHWC pixel values (already mean/std normalized)."""
+
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_values: jax.Array,
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ) -> DINOv2Output:
+        x = _Embeddings(self.config, dtype=self.dtype, name="embeddings")(
+            pixel_values, deterministic=deterministic
+        )
+        x, attentions = _Encoder(self.config, dtype=self.dtype, name="encoder")(
+            x, output_attentions=output_attentions
+        )
+        x = nn.LayerNorm(
+            epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layernorm"
+        )(x)
+        return DINOv2Output(
+            last_hidden_state=x.astype(jnp.float32), attentions=attentions
+        )
