@@ -53,6 +53,11 @@ _NAMED_CONFIGS = {
         hidden_size=1536, num_hidden_layers=40, num_attention_heads=24,
         use_swiglu_ffn=True,
     ),
+    # tiny model for CPU tests
+    "dinov2-test": DINOv2Config(
+        hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
+        image_size=224,
+    ),
 }
 
 

