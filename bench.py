@@ -1,0 +1,86 @@
+"""Benchmark: closed-loop action prediction rate on one TPU chip.
+
+Measures the per-step control path of the flagship model — the generated
+4L/64d base policy ViT over DINOv2-base patch features + mix action head —
+exactly what runs every control step after the hypernetwork emitted the
+episode's weights (hypernet generation is measured separately and reported as
+aux). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "actions/s", "vs_baseline": N}
+vs_baseline is against the 1 kHz/chip north-star target from BASELINE.json.
+"""
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    from hypervla_tpu.flagship import build_flagship
+    from hypervla_tpu.models.base_network import BaseNetwork
+
+    model, batch = build_flagship()
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    instruction_dict = {
+        "language_instruction": example["task"]["language_instruction"]
+    }
+
+    # one-time per-episode hypernet generation
+    gen_t0 = time.perf_counter()
+    base_params, tasks, _ = model.create_tasks(
+        instruction_dict=instruction_dict,
+        initial_state=example["initial_state"],
+    )
+    base_params = jax.tree_util.tree_map(jax.device_put, base_params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(base_params)[0])
+    gen_time_first = time.perf_counter() - gen_t0
+
+    images = jax.device_put(example["observation"]["image_primary"])
+    token_embedding = jax.device_put(
+        example["task"]["language_instruction"]["token_embedding"]
+    )
+    pad_mask = jax.device_put(example["observation"]["timestep_pad_mask"])
+    rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def step(images, token_embedding, pad_mask, base_params, rng):
+        return model.base_net.apply(
+            {"params": base_params},
+            images.squeeze(1),
+            token_embedding,
+            pad_mask,
+            rng=rng,
+            rngs={"dropout": rng},
+            train=False,
+            method=BaseNetwork.predict_action,
+        )
+
+    # warmup + compile
+    action = step(images, token_embedding, pad_mask, base_params, rng)
+    jax.block_until_ready(action)
+
+    n_iters = 300
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        action = step(images, token_embedding, pad_mask, base_params, rng)
+    jax.block_until_ready(action)
+    elapsed = time.perf_counter() - t0
+    actions_per_sec = n_iters / elapsed
+
+    result = {
+        "metric": "closed-loop actions/sec/chip (generated base-net step, "
+        "DINOv2-base + vit 4L/64d + mix head, bs=1)",
+        "value": round(actions_per_sec, 2),
+        "unit": "actions/s",
+        "vs_baseline": round(actions_per_sec / 1000.0, 4),
+        "aux": {
+            "per_step_ms": round(1000.0 * elapsed / n_iters, 3),
+            "hypernet_gen_first_call_s": round(gen_time_first, 3),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

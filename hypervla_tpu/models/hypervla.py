@@ -69,13 +69,19 @@ class HyperVLA:
         )
         tasks["language_instruction"] = instruction_dict["language_instruction"]
 
-        (dict_base_params, _), intermediate_states = self.hypernet.apply(
-            {"params": self.params},
-            tasks,
-            train=False,
-            initial_states=initial_state,
-            mutable=True,
-            capture_intermediates=True,
+        @jax.jit
+        def _generate(params, tasks, initial_state):
+            return self.hypernet.apply(
+                {"params": params},
+                tasks,
+                train=False,
+                initial_states=initial_state,
+                mutable=True,
+                capture_intermediates=True,
+            )
+
+        (dict_base_params, _), intermediate_states = _generate(
+            self.params, tasks, initial_state
         )
         dict_base_params = jax.tree_util.tree_map(
             lambda p: p.squeeze(0), dict_base_params

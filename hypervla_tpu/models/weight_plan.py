@@ -69,7 +69,8 @@ def init_base_net(
         rngs = {"params": rng, "dropout": dropout_rng,
                 "embedding_noise": embedding_noise_rng}
 
-    init_base_params = base_net.init(rngs, example_batch)["params"]
+    # jit the init: op-by-op dispatch is prohibitively slow on remote TPUs
+    init_base_params = jax.jit(base_net.init)(rngs, example_batch)["params"]
     init_base_params = jax.tree_util.tree_map(np.asarray, init_base_params)
 
     flat_leaves, _ = jax.tree_util.tree_flatten(init_base_params)

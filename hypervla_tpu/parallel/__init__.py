@@ -1,0 +1,1 @@
+from hypervla_tpu.parallel.mesh import batch_sharding, create_mesh, replicated

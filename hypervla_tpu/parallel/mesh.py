@@ -1,0 +1,81 @@
+"""Mesh construction + sharding rules (GSPMD, the TPU-native replacement for
+the reference's pmap/replicate data parallelism, SURVEY.md §5.8).
+
+The training program is a single jit over a device mesh:
+  * axis "data"  — batch (DP) over ICI within a slice, DCN across slices;
+  * axis "fsdp"  — optional parameter/optimizer sharding for large configs
+    (the flagship HN is ~100M params with the shared DINOv2 blocks, which
+    fits replicated; fsdp=1 by default but the code paths keep it general).
+
+Batches are sharded along "data"; the TrainState is replicated (or sharded
+along "fsdp" when enabled). XLA inserts the gradient all-reduces.
+"""
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def create_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    fsdp: int = 1,
+    dcn_data: Optional[int] = None,
+) -> Mesh:
+    """Builds a ("data", "fsdp") mesh over the available devices.
+
+    dcn_data: number of slices when running multi-slice (data-parallel over
+    DCN); uses hybrid mesh construction so DP rides DCN and fsdp rides ICI.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    assert n % fsdp == 0, f"{n} devices not divisible by fsdp={fsdp}"
+    data = n // fsdp
+    if dcn_data and dcn_data > 1:
+        mesh_devices = mesh_utils.create_hybrid_device_mesh(
+            (data // dcn_data, fsdp),
+            dcn_mesh_shape=(dcn_data, 1),
+            devices=devices,
+        )
+    else:
+        mesh_devices = mesh_utils.create_device_mesh((data, fsdp),
+                                                     devices=devices)
+    return Mesh(mesh_devices, axis_names=("data", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis batch sharding along the data axis."""
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def fsdp_sharding(mesh: Mesh, pytree):
+    """Shards the largest axis of each leaf along "fsdp" when divisible;
+    replicates small leaves. A simple, robust default for param/optimizer
+    sharding of the shared DINOv2 blocks."""
+    fsdp_size = mesh.shape["fsdp"]
+
+    def rule(leaf):
+        if fsdp_size == 1 or not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return NamedSharding(mesh, PartitionSpec())
+        shape = leaf.shape
+        axis = int(np.argmax(shape))
+        if shape[axis] % fsdp_size == 0 and shape[axis] >= 2 * fsdp_size:
+            spec = [None] * leaf.ndim
+            spec[axis] = "fsdp"
+            return NamedSharding(mesh, PartitionSpec(*spec))
+        return NamedSharding(mesh, PartitionSpec())
+
+    return jax.tree_util.tree_map(rule, pytree)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Places a host batch onto the mesh, sharded along "data"."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

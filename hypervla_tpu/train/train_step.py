@@ -1,0 +1,269 @@
+"""The single-jit GSPMD training step.
+
+TPU-native re-design of the reference's `train_step_pmap`
+(scripts/train.py:405-542): one `jax.jit` over a ("data", "fsdp") mesh
+replaces pmap+replicate+lax.pmean — XLA inserts the gradient all-reduces from
+the sharding annotations, the TrainState is donated (no per-device copies),
+and the EMA update happens inside the step instead of a host-side pickle
+loop. Behavioral parity preserved:
+
+  * in-step frozen T5 instruction embedding (+ rephrase strategies) and
+    DINOv2 initial-image encoding;
+  * per-sample vmapped loss: one hypernet forward per sample generates that
+    sample's base-net params, then the base net's loss runs under those
+    params (generated-weights-as-activations);
+  * auxiliary losses: attention-entropy and (annealed) DINO attention-map
+    alignment;
+  * weight-decay strategies incl. v4 (decoupled WD as a separate clipped
+    gradient) and delta-decay of fine-tuned DINO params toward the
+    pretrained values;
+  * per-task loss logging via boolean masks.
+"""
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hypervla_tpu.train.train_state import TrainState
+
+
+def make_train_step(
+    model,
+    config: Dict[str, Any],
+    tx,
+    lr_callable: Callable,
+    base_lr_callable: Callable,
+    param_norm_callable: Callable,
+    text_encode: Optional[Callable] = None,
+    dino_encode: Optional[Callable] = None,
+    pretrained_params: Optional[Any] = None,
+    mesh=None,
+    donate: bool = True,
+):
+    """Builds the jitted train step.
+
+    text_encode(input_ids, attention_mask) -> token embeddings (frozen T5).
+    dino_encode(images) -> DINOv2 patch embeddings for initial images.
+    pretrained_params: original DINOv2 params (pytree) for delta-decay.
+    """
+    hk = config["hypernet_kwargs"]
+    vit_kwargs = config["base_net_kwargs"]["vit_kwargs"]
+    aux = config["auxiliary_loss"]
+    opt_cfg = config["optimizer"]
+    use_initial_image = hk.get("use_initial_image", False)
+    num_steps = config.get("num_steps", 100000)
+    ema_decay = config.get("EMA_decay", 0.999)
+    ema_start = config.get("EMA_start_step", 0)
+
+    def sample_loss_fn(params, sample_data, dropout_rng, step):
+        sample_data = jax.tree_util.tree_map(
+            lambda x: jnp.expand_dims(x, 0), sample_data
+        )
+        initial_states = sample_data["initial_state"] if use_initial_image else None
+        dict_base_params, _ = model.hypernet.apply(
+            {"params": params},
+            sample_data["task"],
+            train=True,
+            initial_states=initial_states,
+            rngs={"dropout": dropout_rng},
+        )
+        dict_base_params = jax.tree_util.tree_map(
+            lambda p: p.squeeze(0), dict_base_params
+        )
+        if vit_kwargs["encoder_type"] == "EfficientNet":
+            dropout_rng, drop_connect_rng = jax.random.split(dropout_rng)
+            rngs = {"dropout": dropout_rng, "drop_connect": drop_connect_rng}
+        elif vit_kwargs.get("image_embedding_noise", 0.0) > 0.0:
+            dropout_rng, embedding_noise_rng = jax.random.split(dropout_rng)
+            rngs = {"dropout": dropout_rng, "embedding_noise": embedding_noise_rng}
+        else:
+            rngs = {"dropout": dropout_rng}
+        bound = model.base_net.bind({"params": dict_base_params}, rngs=rngs)
+        loss, metrics, attention_map = bound.loss(sample_data, train=True)
+
+        if aux.get("attention_entropy", 0.0) > 0.0:
+            attention_prob = attention_map[:, :, -1]
+            log_prob = jnp.log(attention_prob + 1e-8)
+            per_head_entropy = -jnp.sum(attention_prob * log_prob, axis=-1)
+            entropy_loss = jnp.mean(per_head_entropy)
+            loss = loss + aux["attention_entropy"] * entropy_loss
+            metrics["attention_entropy_loss"] = jax.lax.stop_gradient(entropy_loss)
+
+        if aux.get("attention_map_alignment", 0.0) > 0.0:
+            policy_map = attention_map[:, :, -1, :-1]
+            reference_map = jax.lax.stop_gradient(
+                sample_data["observation"]["DINO_last_layer_attention_map"][
+                    :, :, 0, 1:
+                ]
+            )
+            alignment_loss = (
+                (policy_map.mean(1) - reference_map.mean(1)) ** 2
+            ).mean()
+            annealing = 1.0 - step / num_steps
+            loss = loss + annealing * aux["attention_map_alignment"] * alignment_loss
+            metrics["attention_alignment_loss"] = jax.lax.stop_gradient(
+                alignment_loss
+            )
+
+        metrics["base_params_norm"] = optax.global_norm(dict_base_params)
+        return loss, metrics
+
+    def sample_weight_decay_loss(params, sample_data, dropout_rng):
+        sample_data = jax.tree_util.tree_map(
+            lambda x: jnp.expand_dims(x, 0), sample_data
+        )
+        initial_states = sample_data["initial_state"] if use_initial_image else None
+        dict_base_params, _ = model.hypernet.apply(
+            {"params": params},
+            sample_data["task"],
+            train=True,
+            initial_states=initial_states,
+            rngs={"dropout": dropout_rng},
+        )
+        dict_base_params = jax.tree_util.tree_map(
+            lambda p: p.squeeze(0), dict_base_params
+        )
+        mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: "kernel" in jax.tree_util.keystr(path),
+            dict_base_params,
+        )
+        sq = jax.tree_util.tree_map(
+            lambda p, m: (p**2).sum() * m, dict_base_params, mask
+        )
+        return 0.5 * sum(jax.tree_util.tree_leaves(sq))
+
+    def train_step(state: TrainState, batch, task_index=None):
+        rephrase_strategy = aux.get("rephrase_strategy", None)
+        if text_encode is not None:
+            if rephrase_strategy == "replace" and "rephrased_task" in batch:
+                emb = text_encode(
+                    batch["rephrased_task"]["language_instruction"]["input_ids"],
+                    batch["rephrased_task"]["language_instruction"][
+                        "attention_mask"
+                    ],
+                )
+                batch["task"]["language_instruction"] = dict(
+                    batch["rephrased_task"]["language_instruction"],
+                    token_embedding=jax.lax.stop_gradient(emb),
+                )
+            else:
+                emb = text_encode(
+                    batch["task"]["language_instruction"]["input_ids"],
+                    batch["task"]["language_instruction"]["attention_mask"],
+                )
+                batch["task"]["language_instruction"]["token_embedding"] = (
+                    jax.lax.stop_gradient(emb)
+                )
+        if use_initial_image and dino_encode is not None:
+            patch = dino_encode(batch["initial_state"]["image_primary"].squeeze(1))
+            batch["initial_state"]["patch_embeddings"] = jax.lax.stop_gradient(
+                patch
+            )
+
+        rng, dropout_rng = jax.random.split(state.rng)
+        batch_size = batch["action"].shape[0]
+        dropout_rngs = jax.random.split(dropout_rng, batch_size)
+
+        def _loss_fn(params):
+            losses, metrics = jax.vmap(
+                sample_loss_fn, in_axes=(None, 0, 0, None)
+            )(params, batch, dropout_rngs, state.step)
+            task_metrics = {}
+            if task_index is not None:
+                for task_name in task_index:
+                    task_metrics[f"task_loss_{task_name}"] = (
+                        losses * task_index[task_name]
+                    ).sum()
+            return losses.mean(), (metrics, task_metrics)
+
+        (loss_mean, (metrics, task_metrics)), grads = jax.value_and_grad(
+            _loss_fn, has_aux=True
+        )(state.params)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+
+        # delta-decay: pull fine-tuned DINO params toward pretrained values
+        if (
+            vit_kwargs.get("fine_tune_pretrained_image_encoder", False)
+            and opt_cfg.get("base_weight_decay", 0.0) > 0
+            and pretrained_params is not None
+        ):
+            coefficient = base_lr_callable(state.step) * opt_cfg[
+                "base_weight_decay"
+            ]
+
+            def delta_change_decay(path, p):
+                name = "encoder_image_encoder_" + "_".join(x.key for x in path)
+                updates[name] = updates[name] + coefficient * p.ravel()
+
+            jax.tree_util.tree_map_with_path(
+                delta_change_decay, pretrained_params
+            )
+
+        info = {}
+        if opt_cfg.get("weight_decay_strategy", "v1") == "v4":
+            wd_losses, wd_grads = jax.vmap(
+                jax.value_and_grad(sample_weight_decay_loss),
+                in_axes=(None, 0, 0),
+            )(state.params, batch, dropout_rngs)
+            wd_grads = jax.tree_util.tree_map(
+                lambda g: g.mean(axis=0), wd_grads
+            )
+            wd_grad_norm = optax.global_norm(wd_grads)
+            clip = opt_cfg["clip_gradient"]
+            wd_updates = jax.tree_util.tree_map(
+                lambda x: x / wd_grad_norm * jnp.minimum(wd_grad_norm, clip),
+                wd_grads,
+            )
+            coefficient = lr_callable(state.step) * aux["base_weight_decay"]
+            wd_updates = jax.tree_util.tree_map(
+                lambda x: coefficient * x, wd_updates
+            )
+            updates = jax.tree_util.tree_map(
+                lambda x, y: x - y, updates, wd_updates
+            )
+            info["base_weight_decay_grad_norm"] = wd_grad_norm
+
+        info.update(
+            training_loss=loss_mean,
+            grad_norm=optax.global_norm(grads),
+            update_norm=optax.global_norm(updates),
+            param_norm=param_norm_callable(state.params),
+            learning_rate=lr_callable(state.step),
+        )
+        if task_index is not None:
+            for task_name in task_index:
+                task_loss = task_metrics[f"task_loss_{task_name}"]
+                denom = jnp.maximum(task_index[task_name].sum(), 1)
+                info[f"task_loss_{task_name}"] = task_loss / denom
+        info.update(
+            jax.tree_util.tree_map(lambda x: x.mean(), metrics)
+        )
+
+        new_params = optax.apply_updates(state.params, updates)
+
+        new_ema = state.ema_params
+        if state.ema_params is not None:
+            started = state.step >= ema_start
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: jnp.where(
+                    started, ema_decay * e + (1.0 - ema_decay) * p, p
+                ),
+                state.ema_params,
+                new_params,
+            )
+
+        new_state = state.replace(
+            params=new_params,
+            opt_state=new_opt_state,
+            rng=rng,
+            step=state.step + 1,
+            ema_params=new_ema,
+        )
+        return new_state, info
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums,
+                   static_argnames=())
