@@ -19,7 +19,9 @@ def main():
     from hypervla_tpu.flagship import build_flagship
     from hypervla_tpu.models.base_network import BaseNetwork
 
-    model, batch = build_flagship()
+    # bfloat16 compute in the DINOv2 trunk (params stay fp32) — the
+    # inference-precision configuration for TPU serving
+    model, batch = build_flagship(encoder_dtype="bfloat16")
     example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
     instruction_dict = {
         "language_instruction": example["task"]["language_instruction"]

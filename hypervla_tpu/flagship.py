@@ -62,7 +62,7 @@ def make_flagship_batch(
 
 
 def build_flagship(
-    tiny: bool = False, seed: int = 0
+    tiny: bool = False, seed: int = 0, encoder_dtype: Optional[str] = None
 ) -> Tuple[HyperVLA, dict]:
     """Builds the flagship HyperVLA model (or a tiny topological twin for
     CPU dry runs) plus a matching example batch."""
@@ -74,5 +74,7 @@ def build_flagship(
     else:
         config = flagship_pretrain_config()
         batch = make_flagship_batch()
+    if encoder_dtype is not None:
+        config["base_net_kwargs"]["vit_kwargs"]["encoder_dtype"] = encoder_dtype
     model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(seed))
     return model, batch
