@@ -1,0 +1,106 @@
+"""Text tokenization (parity: octo/data/utils/text_processing.py).
+
+HFTokenizer wraps a HuggingFace tokenizer when its files are available
+locally; otherwise a deterministic hash fallback keeps the whole stack
+runnable on machines without network egress (ids are stable across runs, so
+tests and benchmarks behave).
+"""
+import logging
+from abc import ABC, abstractmethod
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class TextProcessor(ABC):
+    @abstractmethod
+    def encode(self, strings: Sequence[str]):
+        raise NotImplementedError
+
+
+class FallbackTokenizer:
+    """Deterministic whitespace+hash tokenizer standing in for a missing
+    pretrained tokenizer. Matches the (input_ids, attention_mask) interface."""
+
+    def __init__(self, vocab_size: int = 32000, eos_id: int = 1, pad_id: int = 0):
+        self.vocab_size = vocab_size
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+
+    def __call__(self, strings, max_length=32, padding="max_length",
+                 truncation=True, return_tensors="np", **kwargs):
+        if isinstance(strings, (str, bytes)):
+            strings = [strings]
+        ids = np.full((len(strings), max_length), self.pad_id, dtype=np.int32)
+        mask = np.zeros((len(strings), max_length), dtype=np.int32)
+        for row, s in enumerate(strings):
+            if isinstance(s, bytes):
+                s = s.decode("utf-8")
+            tokens = [
+                2 + (hash(w) % (self.vocab_size - 2)) for w in s.lower().split()
+            ]
+            tokens = tokens[: max_length - 1] + [self.eos_id]
+            ids[row, : len(tokens)] = tokens
+            mask[row, : len(tokens)] = 1
+        return {"input_ids": ids, "attention_mask": mask}
+
+
+class HFTokenizer(TextProcessor):
+    def __init__(
+        self,
+        tokenizer_name: str,
+        tokenizer_kwargs: Optional[dict] = None,
+        encode_with_model: bool = False,
+    ):
+        self.tokenizer_kwargs = tokenizer_kwargs or {
+            "max_length": 64,
+            "padding": "max_length",
+            "truncation": True,
+            "return_tensors": "np",
+        }
+        self.encode_with_model = encode_with_model
+        try:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+        except Exception as e:
+            logging.warning(
+                f"Could not load tokenizer {tokenizer_name} ({e}); "
+                "using deterministic fallback tokenizer."
+            )
+            self.tokenizer = FallbackTokenizer()
+        if self.encode_with_model:
+            from transformers import FlaxAutoModel
+
+            self.model = FlaxAutoModel.from_pretrained(tokenizer_name)
+
+    def encode(self, strings: Sequence[str]):
+        strings = [
+            s.decode("utf-8") if isinstance(s, bytes) else s for s in strings
+        ]
+        inputs = self.tokenizer(strings, **self.tokenizer_kwargs)
+        if self.encode_with_model:
+            return np.array(self.model(**inputs).last_hidden_state)
+        return dict(inputs)
+
+
+class CLIPTextProcessor(TextProcessor):
+    def __init__(self, tokenizer_kwargs: Optional[dict] = None):
+        from transformers import CLIPProcessor
+
+        self.processor = CLIPProcessor.from_pretrained(
+            "openai/clip-vit-base-patch32"
+        )
+        self.kwargs = tokenizer_kwargs or {
+            "max_length": 64,
+            "padding": "max_length",
+            "truncation": True,
+            "return_tensors": "np",
+        }
+
+    def encode(self, strings: Sequence[str]):
+        inputs = self.processor(text=strings, **self.kwargs)
+        inputs["position_ids"] = np.expand_dims(
+            np.arange(inputs["input_ids"].shape[1]), axis=0
+        ).repeat(inputs["input_ids"].shape[0], axis=0)
+        return inputs
