@@ -60,9 +60,15 @@ class HFTokenizer(TextProcessor):
         }
         self.encode_with_model = encode_with_model
         try:
+            import os
+
+            # fail fast when files aren't cached locally — no network retries
+            os.environ.setdefault("HF_HUB_OFFLINE", "1")
             from transformers import AutoTokenizer
 
-            self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                tokenizer_name, local_files_only=True
+            )
         except Exception as e:
             logging.warning(
                 f"Could not load tokenizer {tokenizer_name} ({e}); "

@@ -88,9 +88,20 @@ class InferenceWrapper:
                 self.unnormalization_statistics = model.dataset_statistics[
                     "action"
                 ]
-            else:
+            elif dataset in model.dataset_statistics:
                 self.unnormalization_statistics = model.dataset_statistics[
                     dataset
+                ]["action"]
+            else:
+                fallback = sorted(model.dataset_statistics.keys())[0]
+                import logging
+
+                logging.warning(
+                    f"No statistics for {dataset}; falling back to "
+                    f"{fallback} statistics."
+                )
+                self.unnormalization_statistics = model.dataset_statistics[
+                    fallback
                 ]["action"]
             self.normalization_type = _find_normalization_type(
                 model.config, dataset

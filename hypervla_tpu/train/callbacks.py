@@ -1,0 +1,165 @@
+"""Training callbacks (parity: octo/utils/train_callbacks.py).
+
+SaveCallback keeps the reference's dual-checkpointer layout: per-step params
+via the model's save_pretrained contract (+ EMA_params.pkl pickle export for
+artifact compatibility) and a latest-only full TrainState.
+ValidationCallback computes held-out action-MSE per dataset with a jitted
+batched hypernet apply + vmapped base-net predict.
+"""
+import logging
+import os
+import pickle
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SaveCallback:
+    def __init__(self, save_dir: Optional[str]):
+        self.save_dir = save_dir
+        self.state_dir = os.path.join(save_dir, "state") if save_dir else None
+        if self.save_dir is not None and jax.process_index() == 0:
+            os.makedirs(self.save_dir, exist_ok=True)
+
+    def __call__(self, model, train_state, step: int):
+        if self.save_dir is None:
+            return
+        params = jax.device_get(train_state.params)
+        model.replace(params=params).save_pretrained(
+            step=step, checkpoint_path=self.save_dir
+        )
+        if train_state.ema_params is not None and jax.process_index() == 0:
+            step_dir = os.path.join(self.save_dir, str(step))
+            os.makedirs(step_dir, exist_ok=True)
+            ema = jax.device_get(train_state.ema_params)
+            with open(os.path.join(step_dir, "EMA_params.pkl"), "wb") as f:
+                pickle.dump({"EMA_0.999": ema}, f)
+        # latest-only full train-state checkpoint for resumption
+        if jax.process_index() == 0:
+            os.makedirs(self.state_dir, exist_ok=True)
+            state_path = os.path.join(self.state_dir, "latest.pkl")
+            with open(state_path, "wb") as f:
+                pickle.dump(
+                    {
+                        "step": int(train_state.step),
+                        "params": params,
+                        "opt_state": jax.device_get(train_state.opt_state),
+                        "rng": np.asarray(train_state.rng),
+                        "ema_params": jax.device_get(train_state.ema_params),
+                    },
+                    f,
+                )
+            logging.info(f"Saved checkpoint at step {step} to {self.save_dir}")
+
+    def restore(self, train_state):
+        """Restores the latest full TrainState, if present."""
+        state_path = os.path.join(self.state_dir, "latest.pkl")
+        if not os.path.exists(state_path):
+            return train_state, None
+        with open(state_path, "rb") as f:
+            payload = pickle.load(f)
+        restored = train_state.replace(
+            step=jnp.asarray(payload["step"], jnp.int32),
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            rng=jnp.asarray(payload["rng"]),
+            ema_params=payload["ema_params"],
+        )
+        return restored, payload["step"]
+
+
+class ValidationCallback:
+    def __init__(
+        self,
+        model,
+        text_encode: Optional[Callable],
+        val_iterators: dict,
+        num_val_batches: int = 8,
+        use_initial_image: bool = False,
+        dino_encode: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.val_iterators = val_iterators
+        self.num_val_batches = num_val_batches
+        self.text_encode = text_encode
+        self.dino_encode = dino_encode
+        self.use_initial_image = use_initial_image
+        self._val_loss = jax.jit(self._make_val_loss())
+
+    def _make_val_loss(self):
+        model = self.model
+        use_initial_image = self.use_initial_image
+
+        def val_loss(params, batch, rng):
+            hypernet_rng, base_net_rng = jax.random.split(rng)
+            initial_states = (
+                batch["initial_state"] if use_initial_image else None
+            )
+            dict_base_params, _ = model.hypernet.apply(
+                {"params": params},
+                batch["task"],
+                train=False,
+                initial_states=initial_states,
+                rngs={"dropout": hypernet_rng},
+            )
+
+            def per_sample_predict(base_params, sample, dropout_rng):
+                sample = jax.tree_util.tree_map(
+                    lambda x: jnp.expand_dims(x, 0), sample
+                )
+                from hypervla_tpu.models.base_network import BaseNetwork
+
+                return model.base_net.apply(
+                    {"params": base_params},
+                    sample["observation"]["image_primary"],
+                    sample["task"]["language_instruction"]["token_embedding"],
+                    sample["observation"]["timestep_pad_mask"],
+                    train=False,
+                    rng=dropout_rng,
+                    rngs={"dropout": dropout_rng},
+                    method=BaseNetwork.predict_action,
+                )
+
+            dropout_rngs = jax.random.split(base_net_rng,
+                                            batch["action"].shape[0])
+            predicted = jax.vmap(per_sample_predict)(
+                dict_base_params, batch, dropout_rngs
+            )
+            target = jnp.clip(batch["action"], -5.0, 5.0)
+            action_dim = target.shape[-1]
+            # predicted has a leading per-sample batch dim of 1
+            predicted = predicted.reshape(target[:, -1].shape)
+            mse = ((predicted - target[:, -1]) ** 2).mean() * action_dim
+            return mse
+
+        return val_loss
+
+    def __call__(self, params, step: int, rng=None) -> dict:
+        rng = rng if rng is not None else jax.random.PRNGKey(step)
+        metrics = {}
+        for name, iterator in self.val_iterators.items():
+            losses = []
+            for _ in range(self.num_val_batches):
+                try:
+                    batch = next(iterator)
+                except StopIteration:
+                    break
+                if self.text_encode is not None:
+                    emb = self.text_encode(
+                        batch["task"]["language_instruction"]["input_ids"],
+                        batch["task"]["language_instruction"]["attention_mask"],
+                    )
+                    batch["task"]["language_instruction"]["token_embedding"] = emb
+                if self.use_initial_image and self.dino_encode is not None:
+                    batch["initial_state"]["patch_embeddings"] = (
+                        self.dino_encode(
+                            batch["initial_state"]["image_primary"].squeeze(1)
+                        )
+                    )
+                rng, key = jax.random.split(rng)
+                losses.append(float(self._val_loss(params, batch, key)))
+            if losses:
+                metrics[f"validation/{name}/mse"] = float(np.mean(losses))
+        return metrics

