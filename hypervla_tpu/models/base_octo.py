@@ -257,6 +257,7 @@ class OctoModule(nn.Module):
         repeat_task_tokens: bool = False,
         use_correct_attention: bool = False,
         task_tokenizers: Optional[Dict[str, ModuleSpec]] = None,
+        use_pretrained_image_tokenizer: bool = False,
     ) -> "OctoModule":
         observation_tokenizer_defs = {
             k: ModuleSpec.instantiate(spec)()
@@ -273,5 +274,6 @@ class OctoModule(nn.Module):
             repeat_task_tokens=repeat_task_tokens,
             transformer_kwargs=transformer_kwargs,
             use_correct_attention=use_correct_attention,
+            use_pretrained_image_tokenizer=use_pretrained_image_tokenizer,
         )
         return cls(octo_transformer=model_def, heads=head_defs)
