@@ -46,6 +46,9 @@ def pack_params(params):
 def main():
     from hypervla_tpu.flagship import build_flagship
     from hypervla_tpu.models.base_network import BaseNetwork
+    from hypervla_tpu.utils.jax_utils import initialize_compilation_cache
+
+    initialize_compilation_cache()
 
     model, batch = build_flagship(encoder_dtype="bfloat16")
     example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)

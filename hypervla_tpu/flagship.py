@@ -62,7 +62,10 @@ def make_flagship_batch(
 
 
 def build_flagship(
-    tiny: bool = False, seed: int = 0, encoder_dtype: Optional[str] = None
+    tiny: bool = False,
+    seed: int = 0,
+    encoder_dtype: Optional[str] = None,
+    serving: bool = False,
 ) -> Tuple[HyperVLA, dict]:
     """Builds the flagship HyperVLA model (or a tiny topological twin for
     CPU dry runs) plus a matching example batch."""
@@ -76,5 +79,10 @@ def build_flagship(
         batch = make_flagship_batch()
     if encoder_dtype is not None:
         config["base_net_kwargs"]["vit_kwargs"]["encoder_dtype"] = encoder_dtype
+    if serving:
+        # fastest per-step path: fused attention, no attention-map capture
+        config["base_net_kwargs"]["vit_kwargs"].update(
+            use_flash_attention=True, sow_dino_attention=False
+        )
     model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(seed))
     return model, batch

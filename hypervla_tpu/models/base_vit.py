@@ -47,12 +47,18 @@ class ViT(nn.Module):
     # compute dtype for the heavy pretrained encoder (params stay fp32);
     # "bfloat16" roughly doubles MXU throughput on TPU
     encoder_dtype: str = "float32"
+    # fused Pallas attention in the pretrained trunk (TPU serving path)
+    use_flash_attention: bool = False
+    # capture DINOv2 attention maps (needed for the attention-alignment aux
+    # loss and eval-time visualization; skip for fastest serving)
+    sow_dino_attention: bool = True
 
     def setup(self):
         if self.encoder_type == "DINOv2":
             self.image_encoder = DINOv2Model(
                 config=dinov2_config(self.pretrained_encoder_name),
                 dtype=jnp.dtype(self.encoder_dtype),
+                use_flash=self.use_flash_attention,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (
@@ -106,8 +112,13 @@ class ViT(nn.Module):
                 mean, std = jnp.array(CLIP_IMAGE_MEAN), jnp.array(CLIP_IMAGE_STD)
             raw = (raw - mean[None, None, None]) / std[None, None, None]
             if self.encoder_type == "DINOv2":
-                outputs = self.image_encoder(raw, output_attentions=True)
-                self.sow("intermediates", "DINO_attention_map", outputs.attentions)
+                outputs = self.image_encoder(
+                    raw, output_attentions=self.sow_dino_attention
+                )
+                if self.sow_dino_attention:
+                    self.sow(
+                        "intermediates", "DINO_attention_map", outputs.attentions
+                    )
                 if self.include_class_token:
                     image_embeddings = outputs.last_hidden_state
                 else:

@@ -170,6 +170,7 @@ def _interpolate_pos_encoding(config, hidden_states, height, width, position_emb
 class _SelfAttention(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -186,6 +187,13 @@ class _SelfAttention(nn.Module):
         k = dense("key")(hidden_states).reshape(shape)
         v = dense("value")(hidden_states).reshape(shape)
 
+        if self.use_flash and not output_attentions:
+            from hypervla_tpu.ops.flash_attention import mha_flash
+
+            attn_output = mha_flash(q, k, v)
+            attn_output = attn_output.reshape(attn_output.shape[:2] + (-1,))
+            return (attn_output,)
+
         q = q / jnp.sqrt(head_dim).astype(self.dtype)
         attn_weights = jnp.einsum("...qhd,...khd->...hqk", q, k)
         attn_weights = jax.nn.softmax(attn_weights, axis=-1)
@@ -199,12 +207,14 @@ class _SelfAttention(nn.Module):
 class _Attention(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
-        outputs = _SelfAttention(self.config, dtype=self.dtype, name="attention")(
-            hidden_states, output_attentions=output_attentions
-        )
+        outputs = _SelfAttention(
+            self.config, dtype=self.dtype, use_flash=self.use_flash,
+            name="attention",
+        )(hidden_states, output_attentions=output_attentions)
         attn = _SelfOutput(self.config, dtype=self.dtype, name="output")(outputs[0])
         return (attn,) + outputs[1:]
 
@@ -278,15 +288,16 @@ class _SwiGLUFFN(nn.Module):
 class _Layer(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         c = self.config
         normed = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
                               name="norm1")(hidden_states)
-        attn_outputs = _Attention(c, dtype=self.dtype, name="attention")(
-            normed, output_attentions=output_attentions
-        )
+        attn_outputs = _Attention(
+            c, dtype=self.dtype, use_flash=self.use_flash, name="attention"
+        )(normed, output_attentions=output_attentions)
         attn = _LayerScale(c, name="layer_scale1")(attn_outputs[0])
         hidden_states = attn + hidden_states
 
@@ -304,14 +315,16 @@ class _Layer(nn.Module):
 class _LayerCollection(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         all_attentions = () if output_attentions else None
         for i in range(self.config.num_hidden_layers):
-            outputs = _Layer(self.config, dtype=self.dtype, name=str(i))(
-                hidden_states, output_attentions=output_attentions
-            )
+            outputs = _Layer(
+                self.config, dtype=self.dtype, use_flash=self.use_flash,
+                name=str(i),
+            )(hidden_states, output_attentions=output_attentions)
             hidden_states = outputs[0]
             if output_attentions:
                 all_attentions += (outputs[1],)
@@ -321,12 +334,14 @@ class _LayerCollection(nn.Module):
 class _Encoder(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
-        return _LayerCollection(self.config, dtype=self.dtype, name="layer")(
-            hidden_states, output_attentions=output_attentions
-        )
+        return _LayerCollection(
+            self.config, dtype=self.dtype, use_flash=self.use_flash,
+            name="layer",
+        )(hidden_states, output_attentions=output_attentions)
 
 
 class DINOv2Model(nn.Module):
@@ -334,6 +349,8 @@ class DINOv2Model(nn.Module):
 
     config: DINOv2Config
     dtype: Dtype = jnp.float32
+    # fused Pallas attention (TPU; not used when attention maps are requested)
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -345,9 +362,10 @@ class DINOv2Model(nn.Module):
         x = _Embeddings(self.config, dtype=self.dtype, name="embeddings")(
             pixel_values, deterministic=deterministic
         )
-        x, attentions = _Encoder(self.config, dtype=self.dtype, name="encoder")(
-            x, output_attentions=output_attentions
-        )
+        x, attentions = _Encoder(
+            self.config, dtype=self.dtype, use_flash=self.use_flash,
+            name="encoder",
+        )(x, output_attentions=output_attentions)
         x = nn.LayerNorm(
             epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layernorm"
         )(x)

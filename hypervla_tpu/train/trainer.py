@@ -175,6 +175,9 @@ def train(
     fsdp: int = 1,
 ) -> TrainState:
     """Runs the training loop; returns the final TrainState."""
+    from hypervla_tpu.utils.jax_utils import initialize_compilation_cache
+
+    initialize_compilation_cache()
     num_steps = num_steps if num_steps is not None else config["num_steps"]
     rng = jax.random.PRNGKey(config.get("seed", 0))
 

@@ -1,0 +1,64 @@
+"""Flash-attention kernel tests (interpret mode on CPU) against the XLA
+reference computation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypervla_tpu.ops.flash_attention import flash_attention, mha_flash
+
+
+def _reference(q, k, v):
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    scores = jnp.einsum("bqd,bkd->bqk", q * scale, k)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bqk,bkd->bqd", probs, v)
+
+
+def test_flash_matches_reference_unpadded():
+    rng = jax.random.PRNGKey(0)
+    q = jax.random.normal(rng, (2, 128, 64))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 64))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 64))
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(out, _reference(q, k, v), atol=2e-5)
+
+
+def test_flash_matches_reference_ragged_length():
+    """257 tokens (DINOv2's cls+256) — exercises padding/masking."""
+    rng = jax.random.PRNGKey(3)
+    q = jax.random.normal(rng, (1, 257, 64))
+    k = jax.random.normal(jax.random.PRNGKey(4), (1, 257, 64))
+    v = jax.random.normal(jax.random.PRNGKey(5), (1, 257, 64))
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(out, _reference(q, k, v), atol=2e-5)
+
+
+def test_mha_flash_layout():
+    rng = jax.random.PRNGKey(6)
+    q = jax.random.normal(rng, (2, 30, 4, 16))
+    k = jax.random.normal(jax.random.PRNGKey(7), (2, 30, 4, 16))
+    v = jax.random.normal(jax.random.PRNGKey(8), (2, 30, 4, 16))
+    out = mha_flash(q, k, v, interpret=True)
+    assert out.shape == (2, 30, 4, 16)
+    # reference per-head
+    ref = jnp.stack(
+        [
+            _reference(
+                q[:, :, h].reshape(2, 30, 16),
+                k[:, :, h].reshape(2, 30, 16),
+                v[:, :, h].reshape(2, 30, 16),
+            )
+            for h in range(4)
+        ],
+        axis=2,
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_bf16_io():
+    q = jnp.ones((1, 16, 8), jnp.bfloat16)
+    out = flash_attention(q, q, q, block_q=16, block_k=16, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.ones((1, 16, 8)), atol=1e-2
+    )
