@@ -50,7 +50,7 @@ def main():
 
     initialize_compilation_cache()
 
-    model, batch = build_flagship(encoder_dtype="bfloat16")
+    model, batch = build_flagship(encoder_dtype="bfloat16", serving=True)
     example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
     instruction_dict = {
         "language_instruction": example["task"]["language_instruction"]
