@@ -7,9 +7,7 @@ emitted the episode's weights.
 
 Serving optimizations exercised here:
   * bfloat16 compute in the DINOv2 trunk (params stay fp32);
-  * the episode's generated params are packed ONCE into a single flat buffer
-    and unpacked inside the jitted step (296 pytree leaves -> 1 device arg,
-    removing per-call marshalling);
+  * fused Pallas flash attention in the trunk; no attention-map capture;
   * best-of-trials timing to reject multi-tenant chip noise.
 
 Prints ONE JSON line:
@@ -22,25 +20,6 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-def pack_params(params):
-    """Flattens a param pytree into (flat fp32 vector, unpack_fn)."""
-    leaves, treedef = jax.tree_util.tree_flatten(params)
-    shapes = [l.shape for l in leaves]
-    sizes = [int(np.prod(s)) for s in shapes]
-    offsets = np.cumsum([0] + sizes)
-
-    flat = jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
-
-    def unpack(flat_vec):
-        parts = [
-            flat_vec[offsets[i]:offsets[i + 1]].reshape(shapes[i])
-            for i in range(len(shapes))
-        ]
-        return jax.tree_util.tree_unflatten(treedef, parts)
-
-    return flat, unpack
 
 
 def main():
@@ -62,9 +41,8 @@ def main():
         instruction_dict=instruction_dict,
         initial_state=example["initial_state"],
     )
-    flat_params, unpack = pack_params(base_params)
-    flat_params = jax.device_put(flat_params)
-    jax.block_until_ready(flat_params)
+    base_params = jax.device_put(base_params)
+    jax.block_until_ready(jax.tree_util.tree_leaves(base_params)[0])
     gen_time_first = time.perf_counter() - gen_t0
 
     images = jax.device_put(example["observation"]["image_primary"])
@@ -75,8 +53,7 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     @jax.jit
-    def step(flat_params, images, token_embedding, pad_mask, rng):
-        base_params = unpack(flat_params)
+    def step(base_params, images, token_embedding, pad_mask, rng):
         return model.base_net.apply(
             {"params": base_params},
             images.squeeze(1),
@@ -89,7 +66,7 @@ def main():
         )
 
     # warmup + compile
-    action = step(flat_params, images, token_embedding, pad_mask, rng)
+    action = step(base_params, images, token_embedding, pad_mask, rng)
     jax.block_until_ready(action)
 
     # best-of-trials to reject multi-tenant noise on the shared chip
@@ -98,7 +75,7 @@ def main():
     for _ in range(n_trials):
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            action = step(flat_params, images, token_embedding, pad_mask, rng)
+            action = step(base_params, images, token_embedding, pad_mask, rng)
         jax.block_until_ready(action)
         best = min(best, (time.perf_counter() - t0) / n_iters)
 
