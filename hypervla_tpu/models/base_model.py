@@ -17,6 +17,7 @@ from flax import struct
 
 from hypervla_tpu.models.base_network import BaseNetwork
 from hypervla_tpu.models.hypervla import _jsonable
+from hypervla_tpu.utils.static import static_dict, to_plain
 from hypervla_tpu.typing import Config, Data, Params, PRNGKey
 
 
@@ -81,9 +82,9 @@ class BaseModel:
         return cls(
             base_net=base_net,
             params=init_base_params,
-            example_batch=example_batch,
+            example_batch=static_dict(example_batch),
             config=config,
-            dataset_statistics=dataset_statistics,
+            dataset_statistics=static_dict(dataset_statistics),
         )
 
     def save_pretrained(self, step: int, checkpoint_path: Optional[str] = None,
@@ -116,8 +117,11 @@ class BaseModel:
                 with open(example_batch_path, "wb") as f:
                     f.write(
                         flax.serialization.msgpack_serialize(
-                            jax.tree_util.tree_map(np.asarray,
-                                                   self.example_batch)
+                            to_plain(
+                                jax.tree_util.tree_map(
+                                    np.asarray, self.example_batch
+                                )
+                            )
                         )
                     )
             stats_path = os.path.join(
@@ -126,9 +130,11 @@ class BaseModel:
             if not os.path.exists(stats_path) and self.dataset_statistics is not None:
                 with open(stats_path, "w") as f:
                     json.dump(
-                        jax.tree_util.tree_map(
-                            lambda x: np.asarray(x).tolist(),
-                            self.dataset_statistics,
+                        to_plain(
+                            jax.tree_util.tree_map(
+                                lambda x: np.asarray(x).tolist(),
+                                self.dataset_statistics,
+                            )
                         ),
                         f,
                     )
@@ -184,7 +190,7 @@ class BaseModel:
         return cls(
             base_net=base_net,
             params=params,
-            example_batch=example_batch,
+            example_batch=static_dict(example_batch),
             config=config,
-            dataset_statistics=dataset_statistics,
+            dataset_statistics=static_dict(dataset_statistics),
         )

@@ -27,6 +27,7 @@ from flax import struct
 from hypervla_tpu.models.base_network import BaseNetwork
 from hypervla_tpu.models.hypernetwork import HyperNetwork, head_name_for_block
 from hypervla_tpu.models.weight_plan import InitOptions, init_base_net
+from hypervla_tpu.utils.static import static_dict, to_plain
 from hypervla_tpu.typing import Config, Data, Params, PRNGKey
 
 
@@ -212,9 +213,9 @@ class HyperVLA:
             base_net=base_net,
             params=params,
             base_net_metadata=metadata,
-            example_batch=example_batch,
+            example_batch=static_dict(example_batch),
             config=config,
-            dataset_statistics=dataset_statistics,
+            dataset_statistics=static_dict(dataset_statistics),
         )
 
     # ------------------------- checkpoint contract -------------------------
@@ -256,8 +257,10 @@ class HyperVLA:
                 with open(example_batch_path, "wb") as f:
                     f.write(
                         flax.serialization.msgpack_serialize(
-                            jax.tree_util.tree_map(
-                                np.asarray, self.example_batch
+                            to_plain(
+                                jax.tree_util.tree_map(
+                                    np.asarray, self.example_batch
+                                )
                             )
                         )
                     )
@@ -265,9 +268,11 @@ class HyperVLA:
             if not os.path.exists(stats_path) and self.dataset_statistics is not None:
                 with open(stats_path, "w") as f:
                     json.dump(
-                        jax.tree_util.tree_map(
-                            lambda x: np.asarray(x).tolist(),
-                            self.dataset_statistics,
+                        to_plain(
+                            jax.tree_util.tree_map(
+                                lambda x: np.asarray(x).tolist(),
+                                self.dataset_statistics,
+                            )
                         ),
                         f,
                     )
@@ -340,9 +345,9 @@ class HyperVLA:
             base_net=base_net,
             params=params,
             base_net_metadata=metadata,
-            example_batch=example_batch,
+            example_batch=static_dict(example_batch),
             config=config,
-            dataset_statistics=dataset_statistics,
+            dataset_statistics=static_dict(dataset_statistics),
         )
 
 

@@ -21,6 +21,7 @@ from jax.typing import ArrayLike
 from hypervla_tpu.data.data_utils import NormalizationType
 from hypervla_tpu.models.base_octo import OctoModule
 from hypervla_tpu.models.hypervla import _jsonable
+from hypervla_tpu.utils.static import static_dict, to_plain
 from hypervla_tpu.typing import Config, Data, Params, PRNGKey
 from hypervla_tpu.utils.spec import ModuleSpec
 
@@ -209,9 +210,9 @@ class OctoModel:
             module=module,
             params=params,
             text_processor=text_processor,
-            example_batch=example_batch,
+            example_batch=static_dict(example_batch),
             config=config,
-            dataset_statistics=dataset_statistics,
+            dataset_statistics=static_dict(dataset_statistics),
             text_embed_fn=text_embed_fn,
         )
 
@@ -242,8 +243,11 @@ class OctoModel:
                 with open(batch_path, "wb") as f:
                     f.write(
                         flax.serialization.msgpack_serialize(
-                            jax.tree_util.tree_map(np.asarray,
-                                                   self.example_batch)
+                            to_plain(
+                                jax.tree_util.tree_map(
+                                    np.asarray, self.example_batch
+                                )
+                            )
                         )
                     )
             stats_path = os.path.join(
@@ -252,9 +256,11 @@ class OctoModel:
             if not os.path.exists(stats_path) and self.dataset_statistics is not None:
                 with open(stats_path, "w") as f:
                     json.dump(
-                        jax.tree_util.tree_map(
-                            lambda x: np.asarray(x).tolist(),
-                            self.dataset_statistics,
+                        to_plain(
+                            jax.tree_util.tree_map(
+                                lambda x: np.asarray(x).tolist(),
+                                self.dataset_statistics,
+                            )
                         ),
                         f,
                     )
@@ -313,9 +319,9 @@ class OctoModel:
             module=module,
             params=params,
             text_processor=text_processor,
-            example_batch=example_batch,
+            example_batch=static_dict(example_batch),
             config=config,
-            dataset_statistics=dataset_statistics,
+            dataset_statistics=static_dict(dataset_statistics),
         )
 
 

@@ -35,6 +35,39 @@ class InitOptions(IntEnum):
     VARIANCE_INIT = 1
 
 
+class Shape:
+    """A hashable, ==-comparable shape leaf.
+
+    The WeightPlan metadata rides on nn.Module dataclasses as a static field,
+    so jit cache keys compare it with == and hash it — numpy arrays would
+    raise, and raw tuples would be flattened by tree_map. This class is an
+    unregistered pytree LEAF that behaves like a shape tuple.
+    """
+
+    __slots__ = ("dims",)
+
+    def __init__(self, dims):
+        self.dims = tuple(int(d) for d in dims)
+
+    def __iter__(self):
+        return iter(self.dims)
+
+    def __getitem__(self, i):
+        return self.dims[i]
+
+    def __len__(self):
+        return len(self.dims)
+
+    def __eq__(self, other):
+        return isinstance(other, Shape) and self.dims == other.dims
+
+    def __hash__(self):
+        return hash(self.dims)
+
+    def __repr__(self):
+        return f"Shape{self.dims}"
+
+
 def flatten_info_dict(d, parent_key="", sep="_"):
     """Flattens nested dicts, stopping at dicts that hold 'output_dim'."""
     items = []
@@ -77,10 +110,10 @@ def init_base_net(
     flat_init_base_params = np.concatenate([np.ravel(p) for p in flat_leaves])
 
     base_param_shapes = jax.tree_util.tree_map(
-        lambda x: np.array(x.shape), init_base_params
+        lambda x: Shape(x.shape), init_base_params
     )
     base_param_dim = jax.tree_util.tree_map(
-        lambda x: int(np.prod(x)), base_param_shapes
+        lambda s: int(np.prod(s.dims)) if len(s) else 1, base_param_shapes
     )
 
     hk = config["hypernet_kwargs"]
@@ -181,7 +214,8 @@ def init_base_net(
         "total_param_num": int(flat_init_base_params.shape[0]),
         "param_dim": base_param_dim,
         "generation_flag": generation_flag,
-        "layer_token_mask": np.array(layer_token_mask),
+        # tuple (not ndarray): metadata must stay hashable/==-comparable
+        "layer_token_mask": tuple(bool(x) for x in layer_token_mask),
     }
 
     # ----------------------------- output heads ------------------------------
