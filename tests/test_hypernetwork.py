@@ -167,3 +167,25 @@ def test_sample_actions_roundtrip(smallstem_setup):
     assert np.isfinite(np.asarray(action)).all()
     # gripper dim is binary
     assert set(np.unique(np.asarray(action[..., -1]))) <= {0.0, 1.0}
+
+
+def test_two_models_share_jitted_sample_actions(smallstem_setup):
+    """Regression: jit cache-key comparison of two coexisting models must not
+    raise on the static metadata/example-batch fields."""
+    config, batch = smallstem_setup
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    instr = {"language_instruction": example["task"]["language_instruction"]}
+
+    model_a = HyperVLA.from_config(config, batch, jax.random.PRNGKey(0))
+    model_b = HyperVLA.from_config(config, batch, jax.random.PRNGKey(1))
+    for model in (model_a, model_b):
+        base_params, tasks, _ = model.create_tasks(instruction_dict=instr)
+        action, _ = model.sample_actions(
+            example["observation"]["image_primary"],
+            instr,
+            tasks,
+            example["observation"]["timestep_pad_mask"],
+            base_params,
+            rng=jax.random.PRNGKey(2),
+        )
+        assert np.isfinite(np.asarray(action)).all()
