@@ -1,0 +1,105 @@
+"""Fused closed-loop serving step.
+
+One jitted XLA program per control tick (per BASELINE.json's north star:
+"action-ensemble ... handled on-device"): raw camera frame -> lanczos3
+resize (+ optional sqrt(0.9) center crop) -> generated base-net forward ->
+action un-normalization -> exponential action-chunk ensembling against a
+rolling on-device history buffer. The host only moves one uint8 frame in and
+one 7-float action out per tick.
+"""
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypervla_tpu.ops import preprocess
+
+
+def make_serving_step(
+    model,
+    unnorm_stats: dict,
+    normalization_type: str = "normal",
+    image_size: int = 224,
+    crop: bool = True,
+    ensemble_temp: float = 0.0,
+):
+    """Builds (step_fn, init_history) for fused closed-loop serving.
+
+    step_fn(base_params, frame_u8, token_embedding, history, step_idx, rng)
+        -> (action[action_dim], new_history)
+    history: (pred_horizon, pred_horizon, action_dim) rolling chunk buffer.
+    """
+    from hypervla_tpu.models.base_network import BaseNetwork
+
+    horizon = model.config["base_net_kwargs"]["action_horizon"]
+    action_dim = model.config["base_net_kwargs"]["action_dim"]
+
+    mean = jnp.asarray(unnorm_stats.get("mean", np.zeros(action_dim)),
+                       jnp.float32)
+    std = jnp.asarray(unnorm_stats.get("std", np.ones(action_dim)),
+                      jnp.float32)
+    p01 = jnp.asarray(unnorm_stats.get("p01", -np.ones(action_dim)),
+                      jnp.float32)
+    p99 = jnp.asarray(unnorm_stats.get("p99", np.ones(action_dim)),
+                      jnp.float32)
+    mask = jnp.asarray(
+        unnorm_stats.get("mask", np.ones(action_dim, bool)), bool
+    )
+
+    def init_history():
+        return jnp.zeros((horizon, horizon, action_dim), jnp.float32)
+
+    @jax.jit
+    def step_fn(base_params, frame, token_embedding, history, step_idx, rng):
+        # ---- preprocessing (device) ----
+        img = preprocess.resize_image(frame, (image_size, image_size))
+        if crop:
+            scale = float(np.sqrt(0.9))
+            offset = (1 - scale) / 2
+            from hypervla_tpu.eval.inference import _crop_and_resize_bilinear
+
+            img = _crop_and_resize_bilinear(
+                img.astype(jnp.float32),
+                (offset, offset, offset + scale, offset + scale),
+                (image_size, image_size),
+            )
+            img = jnp.clip(jnp.round(img), 0, 255).astype(jnp.uint8)
+        images = img[None, None]  # (batch, window, H, W, C)
+
+        # ---- generated base-net forward ----
+        raw = model.base_net.apply(
+            {"params": base_params},
+            images.squeeze(1),
+            token_embedding,
+            jnp.ones((1, 1)),
+            rng=rng,
+            rngs={"dropout": rng},
+            train=False,
+            method=BaseNetwork.predict_action,
+        )[0]  # (horizon, action_dim)
+
+        # ---- un-normalization ----
+        if normalization_type == "normal":
+            raw = jnp.where(mask, raw * std + mean, raw)
+        else:  # bounds
+            raw = jnp.where(
+                mask, (raw + 1) * (p99 - p01 + 1e-8) / 2 + p01, raw
+            )
+
+        # ---- on-device exponential ensembling ----
+        history = jnp.roll(history, 1, axis=0)
+        history = history.at[0].set(raw)
+        num_valid = jnp.minimum(step_idx + 1, horizon)
+        # chunk predicted i steps ago contributes its i-th action
+        idx = jnp.arange(horizon)
+        contributions = history[idx, idx]  # (horizon, action_dim)
+        valid = (idx < num_valid)[:, None]
+        weights = jnp.exp(-ensemble_temp * idx)[:, None] * valid
+        action = jnp.sum(weights * contributions, axis=0) / jnp.sum(
+            weights, axis=0
+        )
+        return action, history
+
+    return step_fn, init_history

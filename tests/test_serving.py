@@ -1,0 +1,61 @@
+"""Fused serving-step tests: matches the InferenceWrapper's host-side
+pipeline (unnormalize + ensemble) step for step."""
+import jax
+import numpy as np
+import pytest
+
+from hypervla_tpu.configs import tiny_test_config
+from hypervla_tpu.eval.action_ensemble import ActionEnsembler
+from hypervla_tpu.models.hypervla import HyperVLA
+from hypervla_tpu.ops.serving import make_serving_step
+
+from helpers import make_example_batch
+
+
+def test_serving_step_matches_host_pipeline():
+    config = tiny_test_config(encoder_type="SmallStem")
+    batch = make_example_batch(image_size=64)
+    stats = {
+        "mean": np.arange(7, dtype=np.float32) / 10,
+        "std": 1 + np.arange(7, dtype=np.float32) / 7,
+        "mask": np.array([True] * 6 + [False]),
+    }
+    model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(0))
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    instr = {"language_instruction": example["task"]["language_instruction"]}
+    base_params, tasks, _ = model.create_tasks(instruction_dict=instr)
+
+    step_fn, init_history = make_serving_step(
+        model, stats, normalization_type="normal", image_size=64, crop=False
+    )
+    history = init_history()
+    ensembler = ActionEnsembler(pred_action_horizon=2)
+    rng = jax.random.PRNGKey(1)
+    frames = np.random.RandomState(0).randint(
+        0, 255, (3, 64, 64, 3)
+    ).astype(np.uint8)
+
+    for t, frame in enumerate(frames):
+        action, history = step_fn(
+            base_params,
+            frame,
+            instr["language_instruction"]["token_embedding"],
+            history,
+            t,
+            rng,
+        )
+        # host reference: raw prediction -> unnormalize -> ensemble
+        raw, _ = model.sample_actions(
+            frame[None, None],
+            instr,
+            tasks,
+            np.ones((1, 1)),
+            base_params,
+            rng=rng,
+        )
+        raw = np.asarray(raw[0])
+        unnorm = np.where(
+            stats["mask"], raw * stats["std"] + stats["mean"], raw
+        )
+        expected = ensembler.ensemble_action(unnorm)
+        np.testing.assert_allclose(np.asarray(action), expected, atol=1e-5)
