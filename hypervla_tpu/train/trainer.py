@@ -173,6 +173,8 @@ def train(
     dataset=None,
     wandb_run=None,
     fsdp: int = 1,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (10, 15),
 ) -> TrainState:
     """Runs the training loop; returns the final TrainState."""
     from hypervla_tpu.utils.jax_utils import initialize_compilation_cache
@@ -225,6 +227,10 @@ def train(
 
     timer = Timer()
     for i in range(start_step, num_steps):
+        if profile_dir is not None and i == profile_steps[0]:
+            jax.profiler.start_trace(profile_dir)
+        if profile_dir is not None and i == profile_steps[1]:
+            jax.profiler.stop_trace()
         timer.tick("total")
         with timer("dataset"):
             batch = next(data_iter)
