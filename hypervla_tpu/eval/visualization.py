@@ -173,6 +173,16 @@ class Visualizer:
             for k in all_metrics[0]
         } if all_metrics else {}
 
+    def raw_evaluations(self, policy_fn, n_trajs: int = 8):
+        """Returns the per-trajectory raw info dicts (un-aggregated)."""
+        infos = []
+        for traj in self._iter_trajs(n_trajs):
+            out = run_policy_on_trajectory(
+                policy_fn, traj, text_processor=self.text_processor
+            )
+            infos.append(out)
+        return infos
+
     def visualize_for_wandb(self, policy_fn, n_trajs: int = 2):
         """Returns {name: matplotlib figure} of action-vs-prediction plots."""
         try:
@@ -202,3 +212,50 @@ class Visualizer:
             axes[0, 0].legend()
             figures[f"trajectory_{idx}"] = fig
         return figures
+
+
+@dataclass
+class RolloutVisualizer:
+    """Closed-loop rollout metrics + optional frame capture
+    (parity: octo/utils/visualization_lib.py:270-395).
+
+    env_fn builds a gym-style environment (wrapped with the chain from
+    eval/gym_wrappers.py); policy_fn maps a stacked observation dict to an
+    action chunk.
+    """
+
+    env_fn: Callable
+    name: str = "rollout"
+    max_episode_length: int = 200
+
+    def run_rollouts(self, policy_fn, n_rollouts: int = 10,
+                     n_vis_rollouts: int = 3, record_key: str = "image_primary"):
+        env = self.env_fn()
+        episode_returns, episode_lengths, videos = [], [], []
+        for rollout_idx in range(n_rollouts):
+            obs, info = env.reset()
+            done, trunc = False, False
+            total_reward, length = 0.0, 0
+            frames = []
+            while not (done or trunc) and length < self.max_episode_length:
+                if rollout_idx < n_vis_rollouts and record_key in obs:
+                    frame = np.asarray(obs[record_key])
+                    frames.append(frame[-1] if frame.ndim == 4 else frame)
+                action = policy_fn(obs)
+                obs, reward, done, trunc, info = env.step(action)
+                total_reward += float(reward)
+                length += 1
+            episode_returns.append(total_reward)
+            episode_lengths.append(length)
+            if frames:
+                videos.append(np.stack(frames))
+        if hasattr(env, "close"):
+            env.close()
+        metrics = {
+            f"{self.name}/mean_return": float(np.mean(episode_returns)),
+            f"{self.name}/mean_length": float(np.mean(episode_lengths)),
+            f"{self.name}/success_rate": float(
+                np.mean([r > 0 for r in episode_returns])
+            ),
+        }
+        return metrics, videos
