@@ -7,12 +7,37 @@ device stage (the production path).
 """
 import io
 import logging
+from functools import lru_cache
 from typing import Mapping, Optional, Tuple, Union
 
 import jax
 import numpy as np
 
 from hypervla_tpu.ops import preprocess
+
+
+@lru_cache(maxsize=1)
+def _cpu_device():
+    """Host pipeline math must stay on the CPU backend — per-frame dispatch
+    to a remote TPU would serialize the input pipeline."""
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
+class _on_cpu:
+    def __enter__(self):
+        dev = _cpu_device()
+        self._ctx = jax.default_device(dev) if dev is not None else None
+        if self._ctx is not None:
+            self._ctx.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._ctx is not None:
+            self._ctx.__exit__(*exc)
+        return False
 
 
 def _as_bytes(value) -> bytes:
@@ -57,9 +82,12 @@ def augment(obs: dict, seed, augment_kwargs: Union[dict, Mapping[str, dict]]) ->
         kwargs = dict(augment_kwargs[name])
         if obs["pad_mask_dict"][f"image_{name}"]:
             rng = jax.random.PRNGKey(int(seed) + i)
-            obs[f"image_{name}"] = np.asarray(
-                preprocess.augment_image(obs[f"image_{name}"], rng, **kwargs)
-            )
+            with _on_cpu():
+                obs[f"image_{name}"] = np.asarray(
+                    preprocess.augment_image(
+                        obs[f"image_{name}"], rng, **kwargs
+                    )
+                )
     return obs
 
 
@@ -129,9 +157,10 @@ def decode_and_resize(
         elif image.dtype != np.uint8:
             raise ValueError(f"Unsupported image dtype: {image.dtype}")
         if name in resize_size:
-            image = np.asarray(
-                preprocess.resize_image(image, tuple(resize_size[name]))
-            )
+            with _on_cpu():
+                image = np.asarray(
+                    preprocess.resize_image(image, tuple(resize_size[name]))
+                )
         obs[f"image_{name}"] = image
 
     for name in depth_names:
@@ -149,9 +178,12 @@ def decode_and_resize(
         elif depth.dtype != np.float32:
             raise ValueError(f"Unsupported depth dtype: {depth.dtype}")
         if name in depth_resize_size:
-            depth = np.asarray(
-                preprocess.resize_depth_image(depth, tuple(depth_resize_size[name]))
-            )
+            with _on_cpu():
+                depth = np.asarray(
+                    preprocess.resize_depth_image(
+                        depth, tuple(depth_resize_size[name])
+                    )
+                )
         obs[f"depth_{name}"] = depth
     return obs
 
@@ -187,9 +219,10 @@ def decode_and_crop_and_resize(
             )
             image = np.asarray(preprocess.rtx_pad_crop(image, rng))
         if name in resize_size:
-            image = np.asarray(
-                preprocess.resize_image(image, tuple(resize_size[name]))
-            )
+            with _on_cpu():
+                image = np.asarray(
+                    preprocess.resize_image(image, tuple(resize_size[name]))
+                )
         obs[f"image_{name}"] = image
 
     return decode_and_resize(obs, {}, depth_resize_size)
