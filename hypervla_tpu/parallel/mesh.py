@@ -79,3 +79,33 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """Wraps a host batch iterator so device_put overlaps with compute:
+    batches are transferred to the mesh `size` steps ahead on a background
+    thread (device_put is async; the queue bounds memory)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    done = object()
+    error = []
+
+    def worker():
+        try:
+            for batch in iterator:
+                q.put(shard_batch(batch, mesh))
+        except BaseException as e:
+            error.append(e)
+        finally:
+            q.put(done)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            if error:
+                raise error[0]
+            return
+        yield item

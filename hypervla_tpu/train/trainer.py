@@ -225,6 +225,16 @@ def train(
         text_encode=text_encode, dino_encode=dino_encode, mesh=mesh,
     )
 
+    def _prepared():
+        for raw in data_iter:
+            task_index = _drawer_task_index(raw)
+            prepared = _prime_example_batch(raw, config, embed=False)
+            yield {"batch": prepared, "task_index": task_index or {}}
+
+    from hypervla_tpu.parallel.mesh import device_prefetch
+
+    prefetched = device_prefetch(_prepared(), mesh, size=2)
+
     timer = Timer()
     for i in range(start_step, num_steps):
         if profile_dir is not None and i == profile_steps[0]:
@@ -233,10 +243,8 @@ def train(
             jax.profiler.stop_trace()
         timer.tick("total")
         with timer("dataset"):
-            batch = next(data_iter)
-            task_index = _drawer_task_index(batch)
-            batch = _prime_example_batch(batch, config, embed=False)
-            batch = shard_batch(batch, mesh)
+            item = next(prefetched)
+            batch, task_index = item["batch"], item["task_index"] or None
         with timer("train"):
             state, info = step_fn(state, batch, task_index)
         timer.tock("total")
