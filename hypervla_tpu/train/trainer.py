@@ -211,6 +211,9 @@ def train(
     )
 
     save_callback = SaveCallback(save_dir)
+    val_callback = _build_validation_callback(
+        config, model, text_encode, dino_encode, process_batch
+    )
     start_step = 0
     if save_dir is not None:
         state, restored_step = save_callback.restore(state)
@@ -252,6 +255,17 @@ def train(
         step = i + 1
         if save_dir is not None and step % config.get("save_interval", 10000) == 0:
             save_callback(model, state, step)
+        if (
+            val_callback is not None
+            and step % config.get("eval_interval", 5000) == 0
+        ):
+            with timer("eval"):
+                val_metrics = val_callback(
+                    jax.device_get(state.params), step
+                )
+            logging.info(f"step {step}: {val_metrics}")
+            if wandb_run is not None:
+                wandb_run.log(val_metrics, step=step)
         if step % config.get("log_interval", 100) == 0:
             info = jax.device_get(info)
             info["timer"] = timer.get_average_times()
@@ -263,6 +277,60 @@ def train(
     if save_dir is not None:
         save_callback(model, state, num_steps)
     return state
+
+
+def _build_validation_callback(config, model, text_encode, dino_encode,
+                               process_batch):
+    """Builds per-dataset validation iterators for the eval_datasets listed in
+    the config (parity: octo/utils/train_callbacks.py:180-263)."""
+    eval_datasets = config.get("eval_datasets") or ()
+    dk = config["dataset_kwargs"]
+    kwargs_list = dk.get("dataset_kwargs_list") or []
+    selected = [k for k in kwargs_list if k["name"] in set(eval_datasets)]
+    if not selected:
+        return None
+    from hypervla_tpu.data.dataset import (
+        apply_frame_transforms,
+        apply_trajectory_transforms,
+        make_dataset_from_rlds,
+    )
+
+    val_iterators = {}
+    for kwargs in selected:
+        try:
+            dataset, _ = make_dataset_from_rlds(**kwargs, train=False)
+        except FileNotFoundError as e:
+            logging.warning(f"validation dataset {kwargs['name']}: {e}")
+            continue
+        dataset = apply_trajectory_transforms(
+            dataset.repeat(),
+            window_size=config.get("window_size", 1),
+            action_horizon=config["base_net_kwargs"]["action_horizon"],
+            max_action_dim=config["base_net_kwargs"]["action_dim"],
+            train=False,
+        ).flatten_frames()
+        dataset = apply_frame_transforms(
+            dataset,
+            resize_size=dk.get("resize_size", {"primary": (224, 224)}),
+            train=False,
+        ).batch(min(dk.get("batch_size", 64), 16))
+        prepared = map(
+            lambda b: _prime_example_batch(process_batch(b), config,
+                                           embed=False),
+            iter(dataset),
+        )
+        val_iterators[kwargs["name"]] = prepared
+    if not val_iterators:
+        return None
+    return ValidationCallback(
+        model,
+        text_encode,
+        val_iterators,
+        use_initial_image=config["hypernet_kwargs"].get(
+            "use_initial_image", False
+        ),
+        dino_encode=dino_encode,
+    )
 
 
 def _prime_example_batch(batch, config, embed=True):

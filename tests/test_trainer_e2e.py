@@ -75,6 +75,8 @@ def test_train_checkpoint_infer_roundtrip(fixture_root, tmp_path):
     config["log_interval"] = 1
     config["save_param_EMA"] = True
     config["EMA_start_step"] = 1
+    config["eval_datasets"] = ["fixture_train"]
+    config["eval_interval"] = 2
 
     save_dir = str(tmp_path / "run")
     state = train(config, save_dir=save_dir, num_steps=2)
