@@ -201,6 +201,20 @@ def train(
         dataset_statistics=getattr(dataset, "dataset_statistics", None),
     )
 
+    # fine-tuning warm-start from a pretrained EMA checkpoint
+    if config.get("pretrained_checkpoint_path"):
+        import pickle
+
+        ema_path = (
+            f"{config['pretrained_checkpoint_path']}/"
+            f"{config['pretrained_checkpoint_step']}/EMA_params.pkl"
+        )
+        with open(ema_path, "rb") as f:
+            ema_params = pickle.load(f)
+        model = model.replace(params=ema_params["EMA_0.999"])
+        logging.info(f"Warm-started from {ema_path}")
+        del ema_params
+
     tx, lr_fn, base_lr_fn, pnorm_fn = create_optimizer(
         model.params,
         hn_param_type_tree(model.params),

@@ -126,3 +126,38 @@ def test_resume_from_checkpoint(fixture_root, tmp_path):
     train(config, save_dir=save_dir, num_steps=1)
     state = train(config, save_dir=save_dir, num_steps=2)  # resumes at 1
     assert int(state.step) == 2
+
+
+def test_finetune_warm_start(fixture_root, tmp_path):
+    """Pretrain 1 step with EMA, then fine-tune warm-started from the EMA
+    pickle (the reference's LIBERO few-shot flow)."""
+    from hypervla_tpu.train.trainer import train
+
+    base = tiny_test_config(encoder_type="SmallStem")
+    base["dataset_kwargs"] = {
+        "batch_size": 8,
+        "shuffle_buffer_size": 20,
+        "tokenizer_max_length": 8,
+        "resize_size": {"primary": (64, 64)},
+        "dataset_kwargs_list": [
+            dict(
+                name="fixture_train",
+                data_dir=fixture_root,
+                image_obs_keys={"primary": "image"},
+                language_key="language_instruction",
+                action_proprio_normalization_type="normal",
+            )
+        ],
+    }
+    base["save_interval"] = 1
+    base["save_param_EMA"] = True
+    base["EMA_start_step"] = 0
+    pretrain_dir = str(tmp_path / "pretrain")
+    train(base, save_dir=pretrain_dir, num_steps=1)
+    assert os.path.exists(os.path.join(pretrain_dir, "1", "EMA_params.pkl"))
+
+    finetune = dict(base)
+    finetune["pretrained_checkpoint_path"] = pretrain_dir
+    finetune["pretrained_checkpoint_step"] = 1
+    state = train(finetune, save_dir=None, num_steps=1)
+    assert int(state.step) == 1
