@@ -9,12 +9,13 @@ from hypervla_tpu.train.optimizer import create_optimizer, hn_param_type_tree
 from hypervla_tpu.train.train_state import TrainState
 from hypervla_tpu.train.train_step import make_train_step
 
-BS = 8
+BS = 4
 config = flagship_pretrain_config()
 config["base_net_kwargs"]["vit_kwargs"]["encoder_dtype"] = "bfloat16"
 batch = make_flagship_batch(batch_size=BS)
+t0 = time.time()
 model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(0))
-print("model built", flush=True)
+print("model built", time.time()-t0, flush=True)
 tx, lr_fn, blr_fn, pn_fn = create_optimizer(model.params, hn_param_type_tree(model.params), **config["optimizer"])
 state = TrainState.create(jax.random.PRNGKey(1), model.params, tx, track_ema=True)
 step_fn = make_train_step(model, config, tx, lr_fn, blr_fn, pn_fn, donate=False)

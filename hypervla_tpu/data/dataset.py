@@ -580,7 +580,9 @@ def make_interleaved_dataset(
             train=train,
             seed=seed,
         ).flatten_frames()
-        datasets.append(dataset)
+        # each component dataset reads/transforms on its own thread so the
+        # weighted sampler never blocks on a slow source
+        datasets.append(dataset.prefetch(max(int(reads), 2)))
 
     dataset = Pipeline.sample_from_pipelines(
         datasets, sample_weights, seed=seed
