@@ -74,8 +74,18 @@ def fsdp_sharding(mesh: Mesh, pytree):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Places a host batch onto the mesh, sharded along "data"."""
+    """Places a host batch onto the mesh, sharded along "data".
+
+    Multi-host: each process contributes its local slice of the global batch
+    (jax.make_array_from_process_local_data assembles the global array)."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

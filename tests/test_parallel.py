@@ -1,0 +1,78 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hypervla_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    device_prefetch,
+    fsdp_sharding,
+    replicated,
+    shard_batch,
+)
+
+
+def test_create_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["fsdp"] == 1
+    mesh2 = create_mesh(fsdp=2)
+    assert mesh2.shape["data"] == 4 and mesh2.shape["fsdp"] == 2
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = create_mesh()
+    batch = {"x": np.arange(16, dtype=np.float32).reshape(16, 1)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding == batch_sharding(mesh)
+    np.testing.assert_array_equal(np.asarray(sharded["x"]), batch["x"])
+
+
+def test_fsdp_sharding_rules():
+    mesh = create_mesh(fsdp=2)
+    tree = {
+        "big": jnp.zeros((16, 4)),   # 16 divisible by 2 -> sharded
+        "tiny": jnp.zeros((3,)),     # not divisible -> replicated
+        "scalar": jnp.zeros(()),
+    }
+    shardings = fsdp_sharding(mesh, tree)
+    assert "fsdp" in str(shardings["big"].spec)
+    assert shardings["tiny"].spec == replicated(mesh).spec
+    # applying them works
+    placed = jax.tree_util.tree_map(jax.device_put, tree, shardings)
+    assert placed["big"].sharding.spec == shardings["big"].spec
+
+
+def test_device_prefetch_preserves_order_and_errors():
+    mesh = create_mesh()
+
+    def gen():
+        for i in range(5):
+            yield {"x": np.full((8, 1), i, np.float32)}
+
+    out = [int(np.asarray(b["x"])[0, 0]) for b in device_prefetch(gen(), mesh)]
+    assert out == [0, 1, 2, 3, 4]
+
+    def bad():
+        yield {"x": np.zeros((8, 1), np.float32)}
+        raise RuntimeError("source died")
+
+    it = device_prefetch(bad(), mesh)
+    next(it)
+    try:
+        next(it)
+        raised = False
+    except RuntimeError:
+        raised = True
+    assert raised
+
+
+def test_sharded_computation_reduces_over_mesh():
+    mesh = create_mesh()
+    x = shard_batch({"x": np.ones((8, 4), np.float32)}, mesh)["x"]
+
+    @jax.jit
+    def mean_fn(x):
+        return x.mean()
+
+    assert float(mean_fn(x)) == 1.0
