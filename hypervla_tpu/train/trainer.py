@@ -236,7 +236,13 @@ def train(
             logging.info(f"Resumed from step {start_step}")
 
     mesh = create_mesh(fsdp=fsdp)
-    state = jax.device_put(state, replicated(mesh))
+    if fsdp > 1:
+        from hypervla_tpu.parallel.mesh import fsdp_sharding
+
+        state_shardings = fsdp_sharding(mesh, state)
+        state = jax.tree_util.tree_map(jax.device_put, state, state_shardings)
+    else:
+        state = jax.device_put(state, replicated(mesh))
     step_fn = make_train_step(
         model, config, tx, lr_fn, base_lr_fn, pnorm_fn,
         text_encode=text_encode, dino_encode=dino_encode, mesh=mesh,
