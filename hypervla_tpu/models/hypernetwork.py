@@ -252,6 +252,12 @@ class HyperNetwork(nn.Module):
         layer_attention_mask = jnp.asarray(
             self.base_net_metadata["layer_token_mask"], dtype=bool
         )
+        if layer_attention_mask.shape[-1] != self.layer_token_num:
+            # 'full' strategy: one layer token regardless of block count
+            # (the reference's per-block mask doesn't apply; attend freely)
+            layer_attention_mask = jnp.ones(
+                (self.layer_token_num,), dtype=bool
+            )
         layer_attention_mask = jnp.broadcast_to(
             layer_attention_mask[None, None, None, :],
             (batch_size, 1, ctx_len, self.layer_token_num),

@@ -189,3 +189,29 @@ def test_two_models_share_jitted_sample_actions(smallstem_setup):
             rng=jax.random.PRNGKey(2),
         )
         assert np.isfinite(np.asarray(action)).all()
+
+
+def test_full_generation_strategy_step0_equivalence():
+    """generation_strategy='full': one output head emits the entire flat
+    param vector; bias init still makes HN(task) == fresh base net."""
+    config = tiny_test_config(encoder_type="SmallStem")
+    config["hypernet_kwargs"]["generation_strategy"] = "full"
+    batch = make_example_batch(image_size=64)
+    rng = jax.random.PRNGKey(11)
+    model = HyperVLA.from_config(config, batch, rng)
+    assert "output_head" in model.params  # single Dense head
+
+    _, base_net_rng = jax.random.split(rng)
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    _, init_params, _, _ = init_base_net(config, example, base_net_rng)
+
+    instr = {"language_instruction": example["task"]["language_instruction"]}
+    generated, _, _ = model.create_tasks(instruction_dict=instr)
+    for (pg, g), (pi, i) in zip(
+        jax.tree_util.tree_leaves_with_path(generated),
+        jax.tree_util.tree_leaves_with_path(init_params),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(g), np.asarray(i),
+            err_msg=f"step-0 mismatch at {jax.tree_util.keystr(pg)}",
+        )
