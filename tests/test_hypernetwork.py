@@ -215,3 +215,29 @@ def test_full_generation_strategy_step0_equivalence():
             np.asarray(g), np.asarray(i),
             err_msg=f"step-0 mismatch at {jax.tree_util.keystr(pg)}",
         )
+
+
+def test_share_tf_output_head():
+    """share_TF_output_head: all transformer blocks are generated by ONE head
+    seeded from block 0 — at step 0 every block equals block 0's init."""
+    config = tiny_test_config(encoder_type="SmallStem")
+    config["hypernet_kwargs"]["share_TF_output_head"] = True
+    batch = make_example_batch(image_size=64)
+    rng = jax.random.PRNGKey(21)
+    model = HyperVLA.from_config(config, batch, rng)
+    # merged head exists; per-layer heads don't
+    import re
+
+    head_names = [k for k in model.params if k.startswith("output_head_")]
+    assert any(re.search(r"encoderblock_(?!\d)", n) for n in head_names)
+    assert not any(re.search(r"encoderblock_\d", n) for n in head_names)
+
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    instr = {"language_instruction": example["task"]["language_instruction"]}
+    generated, _, _ = model.create_tasks(instruction_dict=instr)
+    blocks = generated["encoder"]["Transformer_0"]
+    for leaf0, leaf1 in zip(
+        jax.tree_util.tree_leaves(blocks["encoderblock_0"]),
+        jax.tree_util.tree_leaves(blocks["encoderblock_1"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(leaf0), np.asarray(leaf1))
