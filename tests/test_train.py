@@ -122,3 +122,39 @@ def test_optimizer_shared_split_uses_base_lr():
     )
     state = tx.init(model.params)  # must not raise
     assert state is not None
+
+
+def test_v4_weight_decay_and_delta_decay():
+    """Exercises the decoupled-WD gradient (v4) and the delta-decay pull of
+    fine-tuned DINO params toward their pretrained values."""
+    config = tiny_test_config(encoder_type="DINOv2")
+    config["optimizer"]["weight_decay_strategy"] = "v4"
+    config["optimizer"]["base_weight_decay"] = 0.1
+    config["auxiliary_loss"]["base_weight_decay"] = 0.1
+    config["base_net_kwargs"]["vit_kwargs"][
+        "fine_tune_pretrained_image_encoder"
+    ] = True
+    batch = make_example_batch(
+        batch_size=2, image_size=224, initial_image=True, initial_patch_dim=32
+    )
+    model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(0))
+    tx, lr_fn, base_lr_fn, pnorm_fn = create_optimizer(
+        model.params, hn_param_type_tree(model.params), **config["optimizer"]
+    )
+    state = TrainState.create(jax.random.PRNGKey(1), model.params, tx)
+
+    # pretrained params for delta-decay: the shared image-encoder blocks
+    from hypervla_tpu.models.weight_plan import init_base_net
+
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    _, init_params, _, _ = init_base_net(config, example, jax.random.PRNGKey(0))
+    pretrained = init_params["encoder"]["image_encoder"]
+
+    step_fn = make_train_step(
+        model, config, tx, lr_fn, base_lr_fn, pnorm_fn,
+        pretrained_params=pretrained, donate=False,
+    )
+    state, info = step_fn(state, batch)
+    assert np.isfinite(float(info["training_loss"]))
+    assert "base_weight_decay_grad_norm" in info
+    assert np.isfinite(float(info["base_weight_decay_grad_norm"]))
