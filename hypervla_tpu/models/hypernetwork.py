@@ -279,7 +279,15 @@ class HyperNetwork(nn.Module):
         )(context_embedding, deterministic=not train)
         return context_embedding
 
-    def __call__(self, tasks, train: bool, initial_states=None):
+    def __call__(self, tasks, train: bool, initial_states=None,
+                 broadcast_shared: bool = True):
+        """Generates the base-net param pytree.
+
+        broadcast_shared=False returns shared (non-generated) blocks WITHOUT
+        the batch dimension — the training step vmaps only over generated
+        params and closes over the shared ones, so the (potentially 100M+
+        param) shared image encoder is never materialized per sample.
+        """
         context_embedding = self.generate_context_embedding(
             tasks, train, initial_states
         )
@@ -313,15 +321,22 @@ class HyperNetwork(nn.Module):
                     flat_blocks[name] = packed[:, offset:offset + dim]
                     offset += dim
 
+        shared_names = set()
         for name, idx, dim, gen, _ in self.block_entries:
             if not gen:
                 shared = self.shared_params[name]
-                flat_blocks[name] = jnp.broadcast_to(
-                    shared[None], (batch_size, dim)
-                )
+                if broadcast_shared:
+                    flat_blocks[name] = jnp.broadcast_to(
+                        shared[None], (batch_size, dim)
+                    )
+                else:
+                    flat_blocks[name] = shared
+                    shared_names.add(name)
 
         def _rebuild(path, shape):
             flat_name = "_".join(p.key for p in path)
+            if flat_name in shared_names:
+                return flat_blocks[flat_name].reshape(*tuple(shape))
             return flat_blocks[flat_name].reshape(batch_size, *tuple(shape))
 
         base_params = jax.tree_util.tree_map_with_path(

@@ -91,6 +91,7 @@ class ValidationCallback:
     def _make_val_loss(self):
         model = self.model
         use_initial_image = self.use_initial_image
+        generation_flag = model.hypernet.base_net_metadata["generation_flag"]
 
         def val_loss(params, batch, rng):
             hypernet_rng, base_net_rng = jax.random.split(rng)
@@ -103,7 +104,11 @@ class ValidationCallback:
                 train=False,
                 initial_states=initial_states,
                 rngs={"dropout": hypernet_rng},
+                broadcast_shared=False,
             )
+            import flax
+
+            dict_base_params = flax.core.unfreeze(dict_base_params)
 
             def per_sample_predict(base_params, sample, dropout_rng):
                 sample = jax.tree_util.tree_map(
@@ -124,9 +129,13 @@ class ValidationCallback:
 
             dropout_rngs = jax.random.split(base_net_rng,
                                             batch["action"].shape[0])
-            predicted = jax.vmap(per_sample_predict)(
-                dict_base_params, batch, dropout_rngs
+            # shared params have no batch axis: vmap closes over them
+            param_axes = jax.tree_util.tree_map(
+                lambda gen: 0 if gen else None, generation_flag
             )
+            predicted = jax.vmap(
+                per_sample_predict, in_axes=(param_axes, 0, 0)
+            )(dict_base_params, batch, dropout_rngs)
             target = jnp.clip(batch["action"], -5.0, 5.0)
             action_dim = target.shape[-1]
             # predicted has a leading per-sample batch dim of 1

@@ -57,20 +57,32 @@ def make_train_step(
     ema_decay = config.get("EMA_decay", 0.999)
     ema_start = config.get("EMA_start_step", 0)
 
+    generation_flag = model.hypernet.base_net_metadata["generation_flag"]
+
     def sample_loss_fn(params, sample_data, dropout_rng, step):
         sample_data = jax.tree_util.tree_map(
             lambda x: jnp.expand_dims(x, 0), sample_data
         )
         initial_states = sample_data["initial_state"] if use_initial_image else None
+        # broadcast_shared=False: shared blocks (e.g. the 86M-param DINOv2)
+        # come back WITHOUT a batch axis, so under vmap they are closed-over
+        # constants instead of per-sample copies — shared-weight matmuls stay
+        # ordinary gemms on the MXU
         dict_base_params, _ = model.hypernet.apply(
             {"params": params},
             sample_data["task"],
             train=True,
             initial_states=initial_states,
             rngs={"dropout": dropout_rng},
+            broadcast_shared=False,
         )
+        import flax
+
+        dict_base_params = flax.core.unfreeze(dict_base_params)
         dict_base_params = jax.tree_util.tree_map(
-            lambda p: p.squeeze(0), dict_base_params
+            lambda p, gen: p.squeeze(0) if gen else p,
+            dict_base_params,
+            generation_flag,
         )
         if vit_kwargs["encoder_type"] == "EfficientNet":
             dropout_rng, drop_connect_rng = jax.random.split(dropout_rng)
@@ -121,9 +133,15 @@ def make_train_step(
             train=True,
             initial_states=initial_states,
             rngs={"dropout": dropout_rng},
+            broadcast_shared=False,
         )
+        import flax
+
+        dict_base_params = flax.core.unfreeze(dict_base_params)
         dict_base_params = jax.tree_util.tree_map(
-            lambda p: p.squeeze(0), dict_base_params
+            lambda p, gen: p.squeeze(0) if gen else p,
+            dict_base_params,
+            generation_flag,
         )
         mask = jax.tree_util.tree_map_with_path(
             lambda path, _: "kernel" in jax.tree_util.keystr(path),

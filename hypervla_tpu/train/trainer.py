@@ -192,6 +192,20 @@ def train(
     example_batch = next(data_iter)
     example_batch = _prime_example_batch(example_batch, config)
 
+    # skip DINO attention-map capture when nothing consumes it (the maps cost
+    # 12 x (heads, 257, 257) activations per sample, kept for backward)
+    aux = config["auxiliary_loss"]
+    if (
+        aux.get("attention_map_alignment", 0.0) == 0.0
+        and aux.get("attention_entropy", 0.0) == 0.0
+        and not config["base_net_kwargs"]["vit_kwargs"].get(
+            "return_attention_map", False
+        )
+    ):
+        config["base_net_kwargs"]["vit_kwargs"].setdefault(
+            "sow_dino_attention", False
+        )
+
     text_encode, dino_encode, _, _ = build_frozen_encoders(config)
 
     model = HyperVLA.from_config(
