@@ -9,7 +9,7 @@ from hypervla_tpu.train.optimizer import create_optimizer, hn_param_type_tree
 from hypervla_tpu.train.train_state import TrainState
 from hypervla_tpu.train.train_step import make_train_step
 
-BS = 16
+BS = 8
 config = flagship_pretrain_config()
 config["base_net_kwargs"]["vit_kwargs"]["encoder_dtype"] = "bfloat16"
 batch = make_flagship_batch(batch_size=BS)

@@ -38,6 +38,7 @@ class InferenceWrapper:
         crop: bool = False,
         save_attention_map: bool = False,
         padded_resize: bool = False,
+        fused_serving: bool = False,
     ) -> None:
         self.model = model
         self.policy_setup = policy_setup
@@ -82,6 +83,17 @@ class InferenceWrapper:
         self.num_image_history = 0
         self.crop = crop
         self.save_attention_map = save_attention_map
+        # fused_serving: resize/crop + base net + unnormalize + ensembling in
+        # ONE jitted program (ops/serving.py). Requires horizon == 1, no
+        # attention capture, google/widowx/libero post-processing still on host
+        self.fused_serving = (
+            fused_serving
+            and horizon == 1
+            and not save_attention_map
+            and not padded_resize
+        )
+        self._serving_step = None
+        self._serving_history = None
 
         if model is not None and model.dataset_statistics is not None:
             if "action" in model.dataset_statistics:
@@ -144,6 +156,23 @@ class InferenceWrapper:
             instruction_dict=instruction_dict, initial_state=initial_state
         )
         self.instruction_dict = instruction_dict
+        if self.fused_serving:
+            if self._serving_step is None:
+                from hypervla_tpu.ops.serving import make_serving_step
+
+                self._serving_step, init_history = make_serving_step(
+                    self.model,
+                    self.unnormalization_statistics,
+                    normalization_type=str(
+                        NormalizationType(self.normalization_type).value
+                    ),
+                    image_size=self.image_size,
+                    crop=self.crop,
+                    ensemble_temp=self.action_ensemble_temp,
+                    ensemble=self.action_ensemble,
+                )
+                self._init_history = init_history
+            self._serving_history = self._init_history()
         self.task_description = task_description
         self.image_history.clear()
         if self.action_ensemble:
@@ -161,6 +190,8 @@ class InferenceWrapper:
             self.reset(task_description, self.instruction_dict)
 
         assert image.dtype == np.uint8
+        if self.fused_serving:
+            return self._fused_step(image)
         image = self._resize_image(image)
         self._add_image_to_history(image)
         images, pad_mask = self._obtain_image_history_and_mask()
@@ -192,6 +223,28 @@ class InferenceWrapper:
         else:
             raw_action = np.array(raw_actions[0])
 
+        action = self._postprocess(raw_action)
+        self.episode_step += 1
+        return raw_action, action, image, (self.task_description, self.task), (
+            end - start
+        )
+
+    def _fused_step(self, image: np.ndarray):
+        """One device round-trip per tick via ops/serving.py."""
+        import time as _time
+
+        self.rng, key = jax.random.split(self.rng)
+        start = _time.time()
+        raw_action, self._serving_history = self._serving_step(
+            self.base_params,
+            jnp.asarray(image),
+            self.instruction_dict["language_instruction"]["token_embedding"],
+            self._serving_history,
+            self.episode_step,
+            key,
+        )
+        raw_action = np.asarray(raw_action)
+        end = _time.time()
         action = self._postprocess(raw_action)
         self.episode_step += 1
         return raw_action, action, image, (self.task_description, self.task), (

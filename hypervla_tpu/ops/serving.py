@@ -24,6 +24,7 @@ def make_serving_step(
     image_size: int = 224,
     crop: bool = True,
     ensemble_temp: float = 0.0,
+    ensemble: bool = True,
 ):
     """Builds (step_fn, init_history) for fused closed-loop serving.
 
@@ -87,6 +88,9 @@ def make_serving_step(
             raw = jnp.where(
                 mask, (raw + 1) * (p99 - p01 + 1e-8) / 2 + p01, raw
             )
+
+        if not ensemble:
+            return raw[0], history
 
         # ---- on-device exponential ensembling ----
         history = jnp.roll(history, 1, axis=0)

@@ -59,3 +59,45 @@ def test_serving_step_matches_host_pipeline():
         )
         expected = ensembler.ensemble_action(unnorm)
         np.testing.assert_allclose(np.asarray(action), expected, atol=1e-5)
+
+
+def test_inference_wrapper_fused_matches_host_path():
+    """fused_serving=True must produce the same actions as the host path."""
+    from hypervla_tpu.eval.inference import InferenceWrapper
+
+    config = tiny_test_config(encoder_type="SmallStem")
+    config["dataset_kwargs"]["dataset_kwargs"] = {
+        "action_proprio_normalization_type": "normal"
+    }
+    batch = make_example_batch(image_size=64)
+    stats = {
+        "action": {
+            "mean": np.zeros(7, np.float32),
+            "std": np.ones(7, np.float32),
+            "mask": np.array([True] * 6 + [False]),
+        }
+    }
+    model = HyperVLA.from_config(
+        config, batch, jax.random.PRNGKey(0), dataset_statistics=stats
+    )
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    instr = {"language_instruction": example["task"]["language_instruction"]}
+
+    kwargs = dict(
+        model=model, policy_setup="libero", horizon=1, pred_action_horizon=2,
+        image_size=64, action_ensemble=True, crop=False,
+    )
+    host = InferenceWrapper(**kwargs)
+    fused = InferenceWrapper(**kwargs, fused_serving=True)
+    assert fused.fused_serving
+
+    frames = np.random.RandomState(3).randint(
+        0, 255, (3, 64, 64, 3)
+    ).astype(np.uint8)
+    host.reset("do the thing", instr)
+    fused.reset("do the thing", instr)
+    for t, frame in enumerate(frames):
+        raw_h, act_h, _, _, _ = host.step(frame)
+        raw_f, act_f, _, _, _ = fused.step(frame)
+        np.testing.assert_allclose(raw_f, raw_h, atol=1e-4)
+        np.testing.assert_allclose(act_f, act_h, atol=1e-4)
