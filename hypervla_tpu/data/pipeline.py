@@ -168,6 +168,12 @@ class Pipeline:
                 except StopIteration:
                     return
                 except Exception as e:
+                    if (
+                        isinstance(e, RuntimeError)
+                        and "interpreter shutdown" in str(e)
+                    ):
+                        # worker raced the interpreter teardown; not data
+                        return
                     if log_warning:
                         logging.warning(f"Ignoring pipeline error: {e!r}")
 
