@@ -80,7 +80,10 @@ def build_flagship(
     if encoder_dtype is not None:
         config["base_net_kwargs"]["vit_kwargs"]["encoder_dtype"] = encoder_dtype
     if serving:
-        # fastest per-step path: fused attention, no attention-map capture
+        # fastest per-step path: fused attention, no attention-map capture.
+        # (scan_dino_layers measured ~18% SLOWER here: the per-iteration
+        # dynamic-slice of stacked weights costs more than the saved arg
+        # handles — see PERF.md; left off.)
         config["base_net_kwargs"]["vit_kwargs"].update(
             use_flash_attention=True, sow_dino_attention=False
         )

@@ -52,13 +52,21 @@ class ViT(nn.Module):
     # capture DINOv2 attention maps (needed for the attention-alignment aux
     # loss and eval-time visualization; skip for fastest serving)
     sow_dino_attention: bool = True
+    # stacked DINO layer params + lax.scan (serving fast path: ~16 trunk
+    # param buffers instead of ~190 -> far less per-step host dispatch).
+    # Incompatible with sow_dino_attention.
+    scan_dino_layers: bool = False
 
     def setup(self):
         if self.encoder_type == "DINOv2":
+            assert not (self.scan_dino_layers and self.sow_dino_attention), (
+                "scan_dino_layers cannot capture attention maps"
+            )
             self.image_encoder = DINOv2Model(
                 config=dinov2_config(self.pretrained_encoder_name),
                 dtype=jnp.dtype(self.encoder_dtype),
                 use_flash=self.use_flash_attention,
+                scan_layers=self.scan_dino_layers,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

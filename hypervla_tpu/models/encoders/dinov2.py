@@ -331,13 +331,51 @@ class _LayerCollection(nn.Module):
         return hidden_states, all_attentions
 
 
-class _Encoder(nn.Module):
+class _ScanBlock(nn.Module):
+    """One transformer layer shaped as a scan body (carry = hidden states)."""
+
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
 
     @nn.compact
+    def __call__(self, carry, _):
+        out = _Layer(
+            self.config, dtype=self.dtype, use_flash=self.use_flash,
+            name="layer",
+        )(carry)
+        # fp32 layer-scale params upcast the residual; keep the carry dtype
+        return out[0].astype(carry.dtype), None
+
+
+class _Encoder(nn.Module):
+    config: DINOv2Config
+    dtype: Dtype = jnp.float32
+    use_flash: bool = False
+    scan_layers: bool = False
+
+    @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
+        if self.scan_layers:
+            # stacked layer params walked by lax.scan: the whole trunk is ~16
+            # parameter buffers instead of ~16 x num_layers. Cuts per-call
+            # host dispatch (one runtime handle per buffer per step) and
+            # compiled-program size; the standard TPU big-model layout.
+            assert not output_attentions, (
+                "scan_layers does not support output_attentions; build the "
+                "model with scan_layers=False to capture attention maps"
+            )
+            scan = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=self.config.num_hidden_layers,
+            )
+            hidden_states, _ = scan(
+                self.config, dtype=self.dtype, use_flash=self.use_flash,
+                name="layers",
+            )(hidden_states, None)
+            return hidden_states, None
         return _LayerCollection(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             name="layer",
@@ -351,6 +389,10 @@ class DINOv2Model(nn.Module):
     dtype: Dtype = jnp.float32
     # fused Pallas attention (TPU; not used when attention maps are requested)
     use_flash: bool = False
+    # stacked layer params + lax.scan over layers (serving fast path; does
+    # not support output_attentions). Convert loop-layout checkpoints with
+    # `stack_layer_params`.
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -364,7 +406,7 @@ class DINOv2Model(nn.Module):
         )
         x, attentions = _Encoder(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
-            name="encoder",
+            scan_layers=self.scan_layers, name="encoder",
         )(x, output_attentions=output_attentions)
         x = nn.LayerNorm(
             epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layernorm"
@@ -372,3 +414,47 @@ class DINOv2Model(nn.Module):
         return DINOv2Output(
             last_hidden_state=x.astype(jnp.float32), attentions=attentions
         )
+
+
+def stack_layer_params(dino_params):
+    """Converts a loop-layout DINOv2 param tree (encoder/layer/<i>/...) to the
+    scan layout (encoder/layers/layer/... with a leading layer axis).
+
+    Use when loading an HF-layout / training checkpoint into a model built
+    with `scan_layers=True`. Leaves outside encoder/layer are untouched.
+    """
+    import numpy as np
+
+    params = dict(dino_params)
+    layer_tree = params["encoder"].get("layer")
+    if layer_tree is None:  # already scan layout
+        return dino_params
+    indices = sorted(layer_tree.keys(), key=int)
+
+    def _stack(*leaves):
+        return np.stack([np.asarray(l) for l in leaves])
+
+    stacked = jax.tree_util.tree_map(_stack, *[layer_tree[i] for i in indices])
+    params["encoder"] = {"layers": {"layer": stacked}}
+    return params
+
+
+def unstack_layer_params(dino_params):
+    """Inverse of `stack_layer_params` (scan layout -> loop layout)."""
+    import numpy as np
+
+    params = dict(dino_params)
+    scan_tree = params["encoder"].get("layers")
+    if scan_tree is None:  # already loop layout
+        return dino_params
+    layer_tree = scan_tree["layer"]
+    n = jax.tree_util.tree_leaves(layer_tree)[0].shape[0]
+    params["encoder"] = {
+        "layer": {
+            str(i): jax.tree_util.tree_map(
+                lambda x, i=i: np.asarray(x)[i], layer_tree
+            )
+            for i in range(n)
+        }
+    }
+    return params

@@ -75,6 +75,8 @@ def flash_attention(
     bh, q_len, head_dim = q.shape
     kv_len = k.shape[1]
     sm_scale = 1.0 / np.sqrt(head_dim)
+    # Mosaic only targets TPU; interpret transparently on CPU (tests/dryruns)
+    interpret = interpret or jax.default_backend() == "cpu"
 
     q_pad = _round_up(q_len, block_q)
     k_pad = _round_up(kv_len, block_k)

@@ -37,6 +37,43 @@ def test_dinov2_shapes_and_attentions():
     assert out.attentions[0].shape == (2, 2, 17, 17)
 
 
+def test_dinov2_scan_layers_matches_loop():
+    """scan_layers=True (stacked params + lax.scan) must match the loop-mode
+    forward bit-for-bit given converted params, both directions."""
+    from hypervla_tpu.models.encoders.dinov2 import (
+        stack_layer_params,
+        unstack_layer_params,
+    )
+
+    loop = DINOv2Model(config=TINY_DINO)
+    scan = DINOv2Model(config=TINY_DINO, scan_layers=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3))
+    loop_params = loop.init(jax.random.PRNGKey(1), x)["params"]
+    scan_params = stack_layer_params(loop_params)
+
+    # scan tree must match what scan-mode init produces
+    ref_scan = scan.init(jax.random.PRNGKey(1), x)["params"]
+    ref_struct = jax.tree_util.tree_structure(ref_scan)
+    assert jax.tree_util.tree_structure(scan_params) == ref_struct
+
+    a = loop.apply({"params": loop_params}, x).last_hidden_state
+    b = scan.apply({"params": scan_params}, x).last_hidden_state
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # round trip
+    back = unstack_layer_params(scan_params)
+    ab = jax.tree_util.tree_map(
+        lambda p, q: np.testing.assert_array_equal(np.asarray(p), np.asarray(q)),
+        loop_params, back,
+    )
+    del ab
+
+    # far fewer runtime handles: the whole trunk stacks to per-layer-unique
+    assert len(jax.tree_util.tree_leaves(scan_params)) < len(
+        jax.tree_util.tree_leaves(loop_params)
+    )
+
+
 def test_dinov2_pos_interpolation_other_resolution():
     """Position grid trained at 56 (4x4) must interpolate for 84 (6x6) input."""
     model = DINOv2Model(config=TINY_DINO)
