@@ -14,7 +14,11 @@ import numpy as np
 
 
 def _gym():
-    import gym
+    try:
+        import gym
+    except ImportError:
+        # the wrappers use the 5-tuple step API, which gymnasium shares
+        import gymnasium as gym
 
     return gym
 

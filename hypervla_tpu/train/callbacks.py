@@ -70,6 +70,129 @@ class SaveCallback:
         return restored, payload["step"]
 
 
+class VisualizationCallback:
+    """Offline manipulation metrics + action-vs-prediction plots on held-out
+    trajectories (parity: octo/utils/train_callbacks.py VisualizationCallback).
+
+    visualizers: {name: hypervla_tpu.eval.visualization.Visualizer} over
+    chunked-trajectory validation datasets.
+    """
+
+    def __init__(
+        self,
+        model,
+        text_encode: Callable,
+        visualizers: dict,
+        n_trajs: int = 4,
+        use_initial_image: bool = False,
+        dino_encode: Optional[Callable] = None,
+        make_plots: bool = False,
+    ):
+        self.model = model
+        self.text_encode = text_encode
+        self.visualizers = visualizers
+        self.n_trajs = n_trajs
+        self.use_initial_image = use_initial_image
+        self.dino_encode = dino_encode
+        self.make_plots = make_plots
+
+    def _policy_fn(self, params, step: int):
+        model = self.model.replace(params=params)
+
+        def policy(observations, tasks):
+            instr = {
+                k: np.asarray(v)[:1]
+                for k, v in tasks["language_instruction"].items()
+            }
+            if "token_embedding" not in instr:
+                instr["token_embedding"] = np.asarray(
+                    self.text_encode(
+                        instr["input_ids"], instr["attention_mask"]
+                    )
+                )
+            instruction_dict = {"language_instruction": instr}
+            initial_state = None
+            if self.use_initial_image and "initial_state" in tasks:
+                initial_state = {
+                    k: np.asarray(v)[:1]
+                    for k, v in tasks["initial_state"].items()
+                }
+                if (
+                    "patch_embeddings" not in initial_state
+                    and self.dino_encode is not None
+                ):
+                    initial_state["patch_embeddings"] = np.asarray(
+                        self.dino_encode(
+                            initial_state["image_primary"].squeeze(1)
+                        )
+                    )
+            base_params, hn_tasks, _ = model.create_tasks(
+                instruction_dict=instruction_dict, initial_state=initial_state
+            )
+            images = np.asarray(observations["image_primary"])
+            num_frames = images.shape[0]
+            pad = np.asarray(observations["timestep_pad_mask"])
+            frame_instr = {
+                "language_instruction": {
+                    k: np.broadcast_to(v, (num_frames,) + v.shape[1:])
+                    for k, v in instr.items()
+                }
+            }
+            action, _ = model.sample_actions(
+                images,
+                frame_instr,
+                hn_tasks,
+                pad,
+                base_params,
+                rng=jax.random.PRNGKey(step),
+            )
+            return np.asarray(action)
+
+        return policy
+
+    def __call__(self, params, step: int) -> dict:
+        metrics = {}
+        for name, viz in self.visualizers.items():
+            policy_fn = self._policy_fn(params, step)
+            for k, v in viz.metrics_for_wandb(
+                policy_fn, n_trajs=self.n_trajs
+            ).items():
+                metrics[f"visualizer/{name}/{k}"] = v
+            if self.make_plots:
+                for k, fig in viz.visualize_for_wandb(
+                    policy_fn, n_trajs=min(2, self.n_trajs)
+                ).items():
+                    metrics[f"visualizer/{name}/{k}"] = fig
+        return metrics
+
+
+class RolloutCallback:
+    """Closed-loop sim rollouts during training (parity:
+    octo/utils/train_callbacks.py RolloutVisualizationCallback). Gated on the
+    env being constructible — in environments without the simulators this
+    degrades to a no-op with a logged warning.
+    """
+
+    def __init__(self, rollout_visualizers, policy_fn_builder,
+                 n_rollouts: int = 5):
+        """rollout_visualizers: list of eval.visualization.RolloutVisualizer.
+        policy_fn_builder(params) -> policy_fn(stacked_obs) -> action chunk."""
+        self.rollout_visualizers = rollout_visualizers
+        self.policy_fn_builder = policy_fn_builder
+        self.n_rollouts = n_rollouts
+
+    def __call__(self, params, step: int) -> dict:
+        metrics = {}
+        policy_fn = self.policy_fn_builder(params)
+        for rv in self.rollout_visualizers:
+            try:
+                m, _ = rv.run_rollouts(policy_fn, n_rollouts=self.n_rollouts)
+                metrics.update(m)
+            except Exception as e:  # sim not installed / env died
+                logging.warning(f"rollout {rv.name} skipped: {e!r}")
+        return metrics
+
+
 class ValidationCallback:
     def __init__(
         self,

@@ -260,6 +260,9 @@ def train(
     val_callback = _build_validation_callback(
         config, model, text_encode, dino_encode, process_batch
     )
+    viz_callback = _build_visualization_callback(
+        config, model, text_encode, dino_encode
+    )
     start_step = 0
     if save_dir is not None:
         state, restored_step = save_callback.restore(state)
@@ -322,6 +325,16 @@ def train(
             logging.info(f"step {step}: {val_metrics}")
             if wandb_run is not None:
                 wandb_run.log(val_metrics, step=step)
+        if (
+            viz_callback is not None
+            and step % config.get("viz_interval",
+                                  config.get("eval_interval", 5000)) == 0
+        ):
+            with timer("visualize"):
+                viz_metrics = viz_callback(jax.device_get(state.params), step)
+            logging.info(f"step {step}: {viz_metrics}")
+            if wandb_run is not None:
+                wandb_run.log(viz_metrics, step=step)
         if step % config.get("log_interval", 100) == 0:
             info = jax.device_get(info)
             info["timer"] = timer.get_average_times()
@@ -333,6 +346,64 @@ def train(
     if save_dir is not None:
         save_callback(model, state, num_steps)
     return state
+
+
+def _build_visualization_callback(config, model, text_encode, dino_encode):
+    """Offline manipulation-metric visualizers over the datasets named in
+    config["viz_datasets"] (parity: octo/utils/train_callbacks.py:266-316)."""
+    viz_datasets = config.get("viz_datasets") or ()
+    dk = config["dataset_kwargs"]
+    kwargs_list = dk.get("dataset_kwargs_list") or []
+    selected = [k for k in kwargs_list if k["name"] in set(viz_datasets)]
+    if not selected:
+        return None
+    from hypervla_tpu.data.dataset import make_single_dataset
+    from hypervla_tpu.data.text_processing import HFTokenizer
+    from hypervla_tpu.eval.visualization import Visualizer
+    from hypervla_tpu.train.callbacks import VisualizationCallback
+
+    tokenizer = HFTokenizer(
+        tokenizer_name=dk.get("text_tokenizer", "t5-base"),
+        tokenizer_kwargs={
+            "max_length": dk.get("tokenizer_max_length", 32),
+            "padding": "max_length",
+            "truncation": True,
+            "return_tensors": "np",
+        },
+    )
+    visualizers = {}
+    for kwargs in selected:
+        try:
+            dataset = make_single_dataset(
+                kwargs,
+                train=False,
+                traj_transform_kwargs=dict(
+                    window_size=config.get("window_size", 1),
+                    action_horizon=config["base_net_kwargs"]["action_horizon"],
+                    max_action_dim=config["base_net_kwargs"]["action_dim"],
+                ),
+                frame_transform_kwargs=dict(
+                    resize_size=dk.get("resize_size", {"primary": (224, 224)}),
+                ),
+            )
+        except FileNotFoundError as e:
+            logging.warning(f"viz dataset {kwargs['name']}: {e}")
+            continue
+        visualizers[kwargs["name"]] = Visualizer(
+            dataset=dataset.repeat(), text_processor=tokenizer
+        )
+    if not visualizers:
+        return None
+    return VisualizationCallback(
+        model,
+        text_encode,
+        visualizers,
+        n_trajs=config.get("viz_num_trajs", 4),
+        use_initial_image=config["hypernet_kwargs"].get(
+            "use_initial_image", False
+        ),
+        dino_encode=dino_encode,
+    )
 
 
 def _build_validation_callback(config, model, text_encode, dino_encode,
