@@ -17,44 +17,76 @@ import numpy as np
 
 
 class SaveCallback:
-    def __init__(self, save_dir: Optional[str]):
+    """Dual checkpointer (parity: the reference's per-step param export +
+    resumable state). Device->host copies happen synchronously (the TrainState
+    buffers are donated through the next step); serialization and disk IO run
+    on a background thread so the train loop never blocks on a 350MB+ write.
+    """
+
+    def __init__(self, save_dir: Optional[str], async_save: bool = True):
         self.save_dir = save_dir
         self.state_dir = os.path.join(save_dir, "state") if save_dir else None
+        self._pending = None
+        self._executor = None
         if self.save_dir is not None and jax.process_index() == 0:
             os.makedirs(self.save_dir, exist_ok=True)
+            if async_save:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._executor = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="ckpt"
+                )
 
     def __call__(self, model, train_state, step: int):
         if self.save_dir is None:
             return
+        self.wait()  # one in-flight save at a time
+        # snapshot to host BEFORE the loop donates these buffers
         params = jax.device_get(train_state.params)
-        model.replace(params=params).save_pretrained(
-            step=step, checkpoint_path=self.save_dir
-        )
-        if train_state.ema_params is not None and jax.process_index() == 0:
-            step_dir = os.path.join(self.save_dir, str(step))
-            os.makedirs(step_dir, exist_ok=True)
-            ema = jax.device_get(train_state.ema_params)
-            with open(os.path.join(step_dir, "EMA_params.pkl"), "wb") as f:
-                pickle.dump({"EMA_0.999": ema}, f)
-        # latest-only full train-state checkpoint for resumption
-        if jax.process_index() == 0:
-            os.makedirs(self.state_dir, exist_ok=True)
-            state_path = os.path.join(self.state_dir, "latest.pkl")
-            with open(state_path, "wb") as f:
-                pickle.dump(
-                    {
-                        "step": int(train_state.step),
-                        "params": params,
-                        "opt_state": jax.device_get(train_state.opt_state),
-                        "rng": np.asarray(train_state.rng),
-                        "ema_params": jax.device_get(train_state.ema_params),
-                    },
-                    f,
+        payload = {
+            "step": int(train_state.step),
+            "params": params,
+            "opt_state": jax.device_get(train_state.opt_state),
+            "rng": np.asarray(train_state.rng),
+            "ema_params": jax.device_get(train_state.ema_params),
+        }
+
+        def write():
+            model.replace(params=params).save_pretrained(
+                step=step, checkpoint_path=self.save_dir
+            )
+            if payload["ema_params"] is not None and jax.process_index() == 0:
+                step_dir = os.path.join(self.save_dir, str(step))
+                os.makedirs(step_dir, exist_ok=True)
+                with open(os.path.join(step_dir, "EMA_params.pkl"), "wb") as f:
+                    pickle.dump({"EMA_0.999": payload["ema_params"]}, f)
+            # latest-only full train-state checkpoint for resumption;
+            # write-then-rename so a crash never corrupts the resume point
+            if jax.process_index() == 0:
+                os.makedirs(self.state_dir, exist_ok=True)
+                state_path = os.path.join(self.state_dir, "latest.pkl")
+                tmp_path = state_path + ".tmp"
+                with open(tmp_path, "wb") as f:
+                    pickle.dump(payload, f)
+                os.replace(tmp_path, state_path)
+                logging.info(
+                    f"Saved checkpoint at step {step} to {self.save_dir}"
                 )
-            logging.info(f"Saved checkpoint at step {step} to {self.save_dir}")
+
+        if self._executor is not None:
+            self._pending = self._executor.submit(write)
+        else:
+            write()
+
+    def wait(self):
+        """Blocks until any in-flight save lands (re-raises its errors)."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None
 
     def restore(self, train_state):
         """Restores the latest full TrainState, if present."""
+        self.wait()
         state_path = os.path.join(self.state_dir, "latest.pkl")
         if not os.path.exists(state_path):
             return train_state, None

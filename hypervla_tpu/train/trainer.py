@@ -345,6 +345,7 @@ def train(
             )
     if save_dir is not None:
         save_callback(model, state, num_steps)
+        save_callback.wait()
     return state
 
 
