@@ -298,6 +298,7 @@ def train(
     prefetched = device_prefetch(_prepared(), mesh, size=2)
 
     timer = Timer()
+    last_saved_step = None
     for i in range(start_step, num_steps):
         if profile_dir is not None and i == profile_steps[0]:
             jax.profiler.start_trace(profile_dir)
@@ -314,6 +315,7 @@ def train(
         step = i + 1
         if save_dir is not None and step % config.get("save_interval", 10000) == 0:
             save_callback(model, state, step)
+            last_saved_step = step
         if (
             val_callback is not None
             and step % config.get("eval_interval", 5000) == 0
@@ -344,7 +346,8 @@ def train(
                 f"step {step}: loss={float(info['training_loss']):.4f}"
             )
     if save_dir is not None:
-        save_callback(model, state, num_steps)
+        if last_saved_step != num_steps:
+            save_callback(model, state, num_steps)
         save_callback.wait()
     return state
 
