@@ -81,6 +81,35 @@ def main():
         best = min(best, (time.perf_counter() - t0) / n_iters)
         time.sleep(2.0)
 
+    # device-true time via a short profiler capture (read with the in-repo
+    # TensorBoard-free xplane parser) — separates the program's cost from
+    # shared-host dispatch overhead
+    device_ms = None
+    try:
+        import glob
+        import shutil
+        import tempfile
+
+        from hypervla_tpu.utils.xplane import module_time_ms
+
+        trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
+        jax.profiler.start_trace(trace_dir)
+        for _ in range(10):
+            action = step(base_params, images, token_embedding, pad_mask, rng)
+        jax.block_until_ready(action)
+        jax.profiler.stop_trace()
+        pbs = sorted(
+            glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+        )
+        if pbs:
+            mods = module_time_ms(pbs[-1])
+            for name, (ms, count) in mods.items():
+                if "step" in name and count:
+                    device_ms = ms / count
+        shutil.rmtree(trace_dir, ignore_errors=True)
+    except Exception:
+        pass
+
     actions_per_sec = 1.0 / best
     result = {
         "metric": "closed-loop actions/sec/chip (generated base-net step, "
@@ -90,6 +119,12 @@ def main():
         "vs_baseline": round(actions_per_sec / 1000.0, 4),
         "aux": {
             "per_step_ms": round(1000.0 * best, 3),
+            "device_ms_per_step": (
+                round(device_ms, 3) if device_ms is not None else None
+            ),
+            "device_actions_per_sec": (
+                round(1000.0 / device_ms, 1) if device_ms else None
+            ),
             "hypernet_gen_first_call_s": round(gen_time_first, 3),
             "device": str(jax.devices()[0]),
         },

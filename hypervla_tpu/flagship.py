@@ -80,12 +80,14 @@ def build_flagship(
     if encoder_dtype is not None:
         config["base_net_kwargs"]["vit_kwargs"]["encoder_dtype"] = encoder_dtype
     if serving:
-        # fastest per-step path: fused attention, no attention-map capture.
-        # (scan_dino_layers measured ~18% SLOWER here: the per-iteration
-        # dynamic-slice of stacked weights costs more than the saved arg
-        # handles — see PERF.md; left off.)
+        # fastest per-step path at bs=1: XLA einsum attention, no
+        # attention-map capture. Profiler-measured (PERF.md): the Pallas
+        # flash kernel is a PESSIMIZATION at bs=1/seq=257 (pads to 384,
+        # 12 x 44us = 0.53 ms/step vs ~0.25 for the einsum path) — flash
+        # pays off at larger batch/sequence, not here. scan_dino_layers
+        # likewise measured slower; left off.
         config["base_net_kwargs"]["vit_kwargs"].update(
-            use_flash_attention=True, sow_dino_attention=False
+            use_flash_attention=False, sow_dino_attention=False
         )
     model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(seed))
     return model, batch
