@@ -90,6 +90,57 @@ class HFTokenizer(TextProcessor):
         return dict(inputs)
 
 
+class MuseEmbedding(TextProcessor):
+    """Sentence-level MUSE embeddings (parity: octo's MuseEmbedding, which
+    pulls universal-sentence-encoder from TF-hub).
+
+    TF-hub/TF aren't available on TPU hosts with no egress, so this reads a
+    precomputed table: an .npz with `strings` (array of utf-8/bytes) and
+    `embeddings` (N, dim), path from `table_path` or $HYPERVLA_MUSE_PATH.
+    Unknown strings fall back to a deterministic hash embedding (unit norm)
+    so pipelines keep running; a warning is logged once per string.
+    """
+
+    def __init__(self, table_path: Optional[str] = None, dim: int = 512):
+        import os
+
+        self.dim = dim
+        self.table = {}
+        path = table_path or os.environ.get("HYPERVLA_MUSE_PATH")
+        if path and os.path.exists(path):
+            data = np.load(path, allow_pickle=True)
+            strings, embeddings = data["strings"], data["embeddings"]
+            self.dim = embeddings.shape[-1]
+            for s, e in zip(strings, embeddings):
+                key = s.decode("utf-8") if isinstance(s, bytes) else str(s)
+                self.table[key] = np.asarray(e, np.float32)
+        self._warned = set()
+
+    def _fallback(self, s: str) -> np.ndarray:
+        rng = np.random.RandomState(
+            np.uint32(hash(s) & 0xFFFFFFFF)
+        )
+        v = rng.randn(self.dim).astype(np.float32)
+        return v / np.linalg.norm(v)
+
+    def encode(self, strings: Sequence[str]) -> np.ndarray:
+        out = []
+        for s in strings:
+            if isinstance(s, bytes):
+                s = s.decode("utf-8")
+            if s in self.table:
+                out.append(self.table[s])
+            else:
+                if s not in self._warned:
+                    logging.warning(
+                        f"MuseEmbedding: no precomputed embedding for {s!r}; "
+                        "using deterministic hash fallback"
+                    )
+                    self._warned.add(s)
+                out.append(self._fallback(s))
+        return np.stack(out)
+
+
 class CLIPTextProcessor(TextProcessor):
     def __init__(self, tokenizer_kwargs: Optional[dict] = None):
         from transformers import CLIPProcessor

@@ -183,3 +183,27 @@ def test_tfrecord_example_roundtrip(tmp_path):
     np.testing.assert_array_equal(parsed["steps/is_last"], [0, 0, 1])
     assert parsed["steps/observation/image"][2] == b"jpegbytes2"
     assert parsed["language"][0] == b"instruction 1"
+
+
+def test_muse_embedding_table_and_fallback(tmp_path):
+    import numpy as np
+
+    from hypervla_tpu.data.text_processing import MuseEmbedding
+
+    path = tmp_path / "muse.npz"
+    np.savez(
+        path,
+        strings=np.array([b"pick up the block", "close the drawer"], object),
+        embeddings=np.stack([np.full(16, 0.5), np.full(16, -0.25)]).astype(
+            np.float32
+        ),
+    )
+    muse = MuseEmbedding(table_path=str(path))
+    out = muse.encode([b"pick up the block", "close the drawer", "unknown"])
+    assert out.shape == (3, 16)
+    np.testing.assert_array_equal(out[0], np.full(16, 0.5, np.float32))
+    np.testing.assert_array_equal(out[1], np.full(16, -0.25, np.float32))
+    # unknown string: deterministic unit-norm fallback
+    np.testing.assert_allclose(np.linalg.norm(out[2]), 1.0, rtol=1e-5)
+    again = muse.encode(["unknown"])[0]
+    np.testing.assert_array_equal(out[2], again)
