@@ -304,6 +304,22 @@ def train(
             jax.profiler.start_trace(profile_dir)
         if profile_dir is not None and i == profile_steps[1]:
             jax.profiler.stop_trace()
+            try:
+                import glob
+
+                from hypervla_tpu.utils.xplane import module_time_ms
+
+                pbs = sorted(glob.glob(
+                    f"{profile_dir}/**/*.xplane.pb", recursive=True
+                ))
+                if pbs:
+                    for name, (ms, count) in module_time_ms(pbs[-1]).items():
+                        logging.info(
+                            f"profile: {name}: {ms / max(count, 1):.2f} ms "
+                            f"device/step over {count} steps"
+                        )
+            except Exception as e:
+                logging.warning(f"profile summary failed: {e!r}")
         timer.tick("total")
         with timer("dataset"):
             item = next(prefetched)
