@@ -324,8 +324,12 @@ def train(
         with timer("dataset"):
             item = next(prefetched)
             batch, task_index = item["batch"], item["task_index"] or None
+        step_will_log = (i + 1) % config.get("log_interval", 100) == 0
         with timer("train"):
-            state, info = step_fn(state, batch, task_index, encoder_params)
+            state, info = step_fn(
+                state, batch, task_index, encoder_params,
+                with_metrics=step_will_log,
+            )
         timer.tock("total")
 
         step = i + 1
