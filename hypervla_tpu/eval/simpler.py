@@ -97,6 +97,7 @@ def evaluate(
             done, truncated = False, False
             success = False
             steps = 0
+            frames = [image] if save_video else None
             max_steps = max_steps_override or env.spec.max_episode_steps or 300
             while not (done or truncated) and steps < max_steps:
                 t0 = time.time()
@@ -111,9 +112,19 @@ def evaluate(
                 obs, reward, done, truncated, info = env.step(action)
                 sim_times.append(time.time() - t1)
                 image = get_image_from_maniskill2_obs_dict(env, obs)
+                if frames is not None:
+                    frames.append(image)
                 success = success or bool(done)
                 steps += 1
             successes.append(float(success))
+            if frames is not None:
+                _write_video(
+                    os.path.join(
+                        eval_path,
+                        f"{task_name}_ep{episode}_{'succ' if success else 'fail'}",
+                    ),
+                    frames,
+                )
             logging.info(
                 f"{task_name} ep {episode}: success={success} "
                 f"(avg model {np.mean(inference_times)*1000:.1f} ms, "
@@ -124,6 +135,39 @@ def evaluate(
         with open(results_file, "w") as f:
             json.dump(all_tasks_success_rate, f)
     return all_tasks_success_rate
+
+
+def _write_video(path_base: str, frames):
+    """Saves rollout frames (parity: the reference's mediapy MP4 export).
+    Uses imageio/mediapy when available, else PIL GIF, else a .npz dump."""
+    import numpy as np
+
+    arr = np.stack([np.asarray(f) for f in frames])
+    try:
+        import mediapy
+
+        mediapy.write_video(path_base + ".mp4", arr, fps=10)
+        return
+    except Exception:  # missing package or no ffmpeg backend
+        pass
+    try:
+        import imageio
+
+        imageio.mimsave(path_base + ".mp4", arr, fps=10)
+        return
+    except Exception:
+        pass
+    try:
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in arr]
+        imgs[0].save(
+            path_base + ".gif", save_all=True, append_images=imgs[1:],
+            duration=100, loop=0,
+        )
+        return
+    except ImportError:
+        np.savez_compressed(path_base + ".npz", frames=arr)
 
 
 def _initial_state(policy, image):

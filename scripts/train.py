@@ -20,6 +20,11 @@ flags.DEFINE_string("save_dir", None, "Checkpoint directory.")
 flags.DEFINE_integer("fsdp", 1, "FSDP axis size of the device mesh.")
 flags.DEFINE_bool("wandb", False, "Enable wandb logging.")
 flags.DEFINE_string("wandb_project", "hypervla_tpu", "wandb project.")
+flags.DEFINE_string(
+    "wandb_resume_id", None,
+    "Resume an existing wandb run (parity: the reference's wandb_resume_id; "
+    "TrainState resume itself is driven by --save_dir/state/latest.pkl).",
+)
 
 config_flags.DEFINE_config_file(
     "config",
@@ -39,7 +44,11 @@ def main(_):
             import wandb
 
             wandb_run = wandb.init(
-                project=FLAGS.wandb_project, name=FLAGS.name, config=config
+                project=FLAGS.wandb_project,
+                name=FLAGS.name,
+                config=config,
+                id=FLAGS.wandb_resume_id,
+                resume="must" if FLAGS.wandb_resume_id else None,
             )
         except Exception as e:
             logging.warning(f"wandb unavailable ({e}); continuing without it.")

@@ -175,3 +175,25 @@ def test_libero_protocol(tmp_path, monkeypatch):
     assert results == {"mock_task": 1.0}
     with open(tmp_path / "libero_object.json") as f:
         assert json.load(f) == results
+
+
+def test_simpler_save_video(tmp_path, monkeypatch):
+    from hypervla_tpu.eval.simpler import evaluate
+
+    _install_mock_simpler(monkeypatch, episode_success=lambda ep: True)
+    tasks = {"google_robot_close_top_drawer": (None, 1, None)}
+    evaluate(
+        _MockPolicy(),
+        text_encode=lambda s: {"instruction": s},
+        tasks=tasks,
+        eval_path=str(tmp_path),
+        save_video=True,
+    )
+    import glob
+
+    vids = (
+        glob.glob(str(tmp_path / "*succ*.mp4"))
+        + glob.glob(str(tmp_path / "*succ*.gif"))
+        + glob.glob(str(tmp_path / "*succ*.npz"))
+    )
+    assert vids, list(tmp_path.iterdir())
