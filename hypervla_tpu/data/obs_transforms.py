@@ -84,7 +84,7 @@ def augment(obs: dict, seed, augment_kwargs: Union[dict, Mapping[str, dict]]) ->
             rng = jax.random.PRNGKey(int(seed) + i)
             with _on_cpu():
                 obs[f"image_{name}"] = np.asarray(
-                    preprocess.augment_image(
+                    preprocess.augment_image_host(
                         obs[f"image_{name}"], rng, **kwargs
                     )
                 )
@@ -159,7 +159,9 @@ def decode_and_resize(
         if name in resize_size:
             with _on_cpu():
                 image = np.asarray(
-                    preprocess.resize_image(image, tuple(resize_size[name]))
+                    preprocess.resize_image_host(
+                        image, tuple(resize_size[name])
+                    )
                 )
         obs[f"image_{name}"] = image
 
@@ -221,7 +223,9 @@ def decode_and_crop_and_resize(
         if name in resize_size:
             with _on_cpu():
                 image = np.asarray(
-                    preprocess.resize_image(image, tuple(resize_size[name]))
+                    preprocess.resize_image_host(
+                        image, tuple(resize_size[name])
+                    )
                 )
         obs[f"image_{name}"] = image
 

@@ -20,6 +20,7 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def resize_image(image: jax.Array, size: Tuple[int, int]) -> jax.Array:
@@ -166,6 +167,49 @@ def augment_image(image, rng, augment_order: Sequence[str], **kwargs):
     if was_uint8:
         x = jnp.clip(jnp.round(x * 255.0), 0, 255).astype(jnp.uint8)
     return x
+
+
+@functools.lru_cache(maxsize=None)
+def _augment_image_jit(kwargs_json: str, backend: str):
+    import json
+
+    kwargs = json.loads(kwargs_json)
+
+    def fn(image, rng):
+        return augment_image(image, rng, **kwargs)
+
+    return jax.jit(fn, backend=backend)
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_image_jit(size, backend):
+    return jax.jit(lambda img: resize_image(img, size), backend=backend)
+
+
+def resize_image_host(image, size):
+    """Host-pipeline variant of `resize_image`: cached jitted CPU program per
+    (target size, image shape) — one dispatch per frame."""
+    if image.shape[-3:-1] == tuple(size):
+        return np.asarray(image, dtype=np.uint8)
+    try:
+        fn = _resize_image_jit(tuple(size), "cpu")
+    except RuntimeError:
+        return resize_image(image, size)
+    return fn(image)
+
+
+def augment_image_host(image, rng, **kwargs):
+    """Host-pipeline variant of `augment_image`: one cached jitted CPU program
+    per (augment config, image shape) instead of ~20 op-by-op dispatches per
+    frame (which, on a TPU host, can even round-trip the accelerator)."""
+    import json
+
+    key = json.dumps(kwargs, sort_keys=True, default=list)
+    try:
+        fn = _augment_image_jit(key, "cpu")
+    except RuntimeError:  # no CPU backend registered
+        return augment_image(image, rng, **kwargs)
+    return fn(image, rng)
 
 
 def rtx_pad_crop(image, rng):
