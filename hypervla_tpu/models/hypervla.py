@@ -70,16 +70,24 @@ class HyperVLA:
         )
         tasks["language_instruction"] = instruction_dict["language_instruction"]
 
-        @jax.jit
-        def _generate(params, tasks, initial_state):
-            return self.hypernet.apply(
-                {"params": params},
-                tasks,
-                train=False,
-                initial_states=initial_state,
-                mutable=True,
-                capture_intermediates=True,
-            )
+        # the jitted generator is cached on the instance: a fresh closure per
+        # call would miss jax's jit cache and re-lower/re-compile the
+        # hypernet EVERY episode (seconds per call in closed-loop eval)
+        _generate = self.__dict__.get("_generate_jit")
+        if _generate is None:
+
+            @jax.jit
+            def _generate(params, tasks, initial_state):
+                return self.hypernet.apply(
+                    {"params": params},
+                    tasks,
+                    train=False,
+                    initial_states=initial_state,
+                    mutable=True,
+                    capture_intermediates=True,
+                )
+
+            object.__setattr__(self, "_generate_jit", _generate)
 
         (dict_base_params, _), intermediate_states = _generate(
             self.params, tasks, initial_state
