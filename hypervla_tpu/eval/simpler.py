@@ -47,6 +47,7 @@ def evaluate(
     save_video: bool = False,
     recompute: bool = False,
     max_steps_override: Optional[int] = None,
+    save_attention_map: bool = False,
 ):
     """Runs the closed-loop SIMPLER evaluation.
 
@@ -98,12 +99,15 @@ def evaluate(
             success = False
             steps = 0
             frames = [image] if save_video else None
+            attention_maps = [] if save_attention_map else None
             max_steps = max_steps_override or env.spec.max_episode_steps or 300
             while not (done or truncated) and steps < max_steps:
                 t0 = time.time()
                 if hasattr(policy, "step") and text_encode is not None:
-                    _, action, _, _, model_time = policy.step(image)
+                    _, action, _, attn, model_time = policy.step(image)
                     inference_times.append(model_time)
+                    if attention_maps is not None and attn is not None:
+                        attention_maps.append(np.asarray(attn))
                 else:
                     reply = policy.step(image)
                     action = reply["action"]
@@ -125,6 +129,18 @@ def evaluate(
                     ),
                     frames,
                 )
+            if attention_maps:
+                # parity: the reference pickles per-episode attention maps
+                # (data/simpler/evaluate.py:358-401)
+                import pickle
+
+                with open(
+                    os.path.join(
+                        eval_path, f"{task_name}_ep{episode}_attention.pkl"
+                    ),
+                    "wb",
+                ) as f:
+                    pickle.dump(np.stack(attention_maps), f)
             logging.info(
                 f"{task_name} ep {episode}: success={success} "
                 f"(avg model {np.mean(inference_times)*1000:.1f} ms, "
@@ -234,6 +250,7 @@ def main():
     parser.add_argument("--step", type=int, default=None)
     parser.add_argument("--action_ensemble", action="store_true")
     parser.add_argument("--save_video", action="store_true")
+    parser.add_argument("--save_attention_map", action="store_true")
     parser.add_argument("--recompute", action="store_true")
     parser.add_argument("--window_size", type=int, default=2)
     parser.add_argument("--crop", action="store_true")
@@ -276,6 +293,7 @@ def main():
             seed=seed,
             eval_path=f"eval_results/simpler/{args.model}/{seed}",
             recompute=args.recompute,
+            save_attention_map=args.save_attention_map,
             save_video=args.save_video,
         )
 

@@ -197,3 +197,28 @@ def test_simpler_save_video(tmp_path, monkeypatch):
         + glob.glob(str(tmp_path / "*succ*.npz"))
     )
     assert vids, list(tmp_path.iterdir())
+
+
+def test_simpler_save_attention_maps(tmp_path, monkeypatch):
+    from hypervla_tpu.eval.simpler import evaluate
+
+    _install_mock_simpler(monkeypatch, episode_success=lambda ep: True)
+
+    class _AttnPolicy(_MockPolicy):
+        def step(self, image):
+            return None, np.zeros(7), image, np.ones((4, 17, 17)), 0.001
+
+    evaluate(
+        _AttnPolicy(),
+        text_encode=lambda s: {"instruction": s},
+        tasks={"google_robot_close_top_drawer": (None, 1, None)},
+        eval_path=str(tmp_path),
+        save_attention_map=True,
+    )
+    import pickle
+
+    pkls = list(tmp_path.glob("*_attention.pkl"))
+    assert pkls
+    with open(pkls[0], "rb") as f:
+        maps = pickle.load(f)
+    assert maps.shape[1:] == (4, 17, 17)
