@@ -5,10 +5,15 @@ The training program is a single jit over a device mesh:
   * axis "data"  — batch (DP) over ICI within a slice, DCN across slices;
   * axis "fsdp"  — optional parameter/optimizer sharding for large configs
     (the flagship HN is ~100M params with the shared DINOv2 blocks, which
-    fits replicated; fsdp=1 by default but the code paths keep it general).
+    fits replicated; fsdp=1 by default but the code paths keep it general);
+  * axis "model" — optional tensor parallelism: a SECOND param axis is
+    sharded (the hypernet's packed fan-out kernels are 128 x ~200k — the
+    natural TP target), so the generation matmul and its gradients split
+    across "model" and XLA inserts the reduce-scatters/all-gathers.
 
-Batches are sharded along "data"; the TrainState is replicated (or sharded
-along "fsdp" when enabled). XLA inserts the gradient all-reduces.
+Batches are sharded along "data" (replicated over the other axes); the
+TrainState is replicated or sharded along "fsdp"/"model". XLA inserts the
+collectives from these annotations alone.
 """
 from typing import Optional, Sequence
 
@@ -21,27 +26,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     fsdp: int = 1,
+    tp: int = 1,
     dcn_data: Optional[int] = None,
 ) -> Mesh:
-    """Builds a ("data", "fsdp") mesh over the available devices.
+    """Builds a ("data", "fsdp"[, "model"]) mesh over the available devices.
 
     dcn_data: number of slices when running multi-slice (data-parallel over
-    DCN); uses hybrid mesh construction so DP rides DCN and fsdp rides ICI.
+    DCN); uses hybrid mesh construction so DP rides DCN and fsdp/model ride
+    ICI. tp adds a "model" (tensor-parallel) axis.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
-    assert n % fsdp == 0, f"{n} devices not divisible by fsdp={fsdp}"
-    data = n // fsdp
+    assert n % (fsdp * tp) == 0, (
+        f"{n} devices not divisible by fsdp={fsdp} * tp={tp}"
+    )
+    data = n // (fsdp * tp)
+    shape = (data, fsdp) + ((tp,) if tp > 1 else ())
+    axes = ("data", "fsdp") + (("model",) if tp > 1 else ())
     if dcn_data and dcn_data > 1:
         mesh_devices = mesh_utils.create_hybrid_device_mesh(
-            (data // dcn_data, fsdp),
-            dcn_mesh_shape=(dcn_data, 1),
+            (data // dcn_data,) + shape[1:],
+            dcn_mesh_shape=(dcn_data,) + (1,) * (len(shape) - 1),
             devices=devices,
         )
     else:
-        mesh_devices = mesh_utils.create_device_mesh((data, fsdp),
-                                                     devices=devices)
-    return Mesh(mesh_devices, axis_names=("data", "fsdp"))
+        mesh_devices = mesh_utils.create_device_mesh(shape, devices=devices)
+    return Mesh(mesh_devices, axis_names=axes)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -55,20 +65,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def fsdp_sharding(mesh: Mesh, pytree):
     """Shards the largest axis of each leaf along "fsdp" when divisible;
-    replicates small leaves. A simple, robust default for param/optimizer
-    sharding of the shared DINOv2 blocks."""
+    when the mesh has a "model" (TP) axis, additionally shards the largest
+    REMAINING axis along it. Replicates small leaves. A simple, robust
+    default: the 128 x ~200k fan-out kernels end up fsdp x model sharded,
+    the DINOv2 blocks fsdp-sharded, biases replicated."""
     fsdp_size = mesh.shape["fsdp"]
+    tp_size = mesh.shape.get("model", 1)
 
     def rule(leaf):
-        if fsdp_size == 1 or not hasattr(leaf, "shape") or leaf.ndim == 0:
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
             return NamedSharding(mesh, PartitionSpec())
         shape = leaf.shape
-        axis = int(np.argmax(shape))
-        if shape[axis] % fsdp_size == 0 and shape[axis] >= 2 * fsdp_size:
-            spec = [None] * leaf.ndim
-            spec[axis] = "fsdp"
-            return NamedSharding(mesh, PartitionSpec(*spec))
-        return NamedSharding(mesh, PartitionSpec())
+        spec = [None] * leaf.ndim
+        order = list(np.argsort(shape)[::-1])
+        if fsdp_size > 1:
+            for axis in order:
+                if shape[axis] % fsdp_size == 0 and shape[axis] >= 2 * fsdp_size:
+                    spec[axis] = "fsdp"
+                    break
+        if tp_size > 1:
+            for axis in order:
+                if spec[axis] is None and shape[axis] % tp_size == 0 \
+                        and shape[axis] >= 2 * tp_size:
+                    spec[axis] = "model"
+                    break
+        while spec and spec[-1] is None:
+            spec.pop()
+        return NamedSharding(mesh, PartitionSpec(*spec))
 
     return jax.tree_util.tree_map(rule, pytree)
 

@@ -184,6 +184,7 @@ def train(
     dataset=None,
     wandb_run=None,
     fsdp: int = 1,
+    tp: int = 1,
     profile_dir: Optional[str] = None,
     profile_steps: tuple = (10, 15),
 ) -> TrainState:
@@ -270,8 +271,8 @@ def train(
             start_step = restored_step
             logging.info(f"Resumed from step {start_step}")
 
-    mesh = create_mesh(fsdp=fsdp)
-    if fsdp > 1:
+    mesh = create_mesh(fsdp=fsdp, tp=tp)
+    if fsdp > 1 or tp > 1:
         from hypervla_tpu.parallel.mesh import fsdp_sharding
 
         state_shardings = fsdp_sharding(mesh, state)

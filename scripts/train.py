@@ -18,6 +18,7 @@ FLAGS = flags.FLAGS
 flags.DEFINE_string("name", "hypervla", "Experiment name.")
 flags.DEFINE_string("save_dir", None, "Checkpoint directory.")
 flags.DEFINE_integer("fsdp", 1, "FSDP axis size of the device mesh.")
+flags.DEFINE_integer("tp", 1, "Tensor-parallel (model) axis size.")
 flags.DEFINE_bool("wandb", False, "Enable wandb logging.")
 flags.DEFINE_string("wandb_project", "hypervla_tpu", "wandb project.")
 flags.DEFINE_string(
@@ -60,6 +61,7 @@ def main(_):
         save_dir=FLAGS.save_dir,
         wandb_run=wandb_run,
         fsdp=FLAGS.fsdp,
+        tp=FLAGS.tp,
     )
 
 

@@ -76,3 +76,37 @@ def test_sharded_computation_reduces_over_mesh():
         return x.mean()
 
     assert float(mean_fn(x)) == 1.0
+
+
+def test_tp_mesh_and_sharding_rules():
+    """A "model" axis shards a SECOND dimension of large 2D params."""
+    import numpy as np
+    from jax.sharding import PartitionSpec
+
+    from hypervla_tpu.parallel.mesh import create_mesh, fsdp_sharding
+
+    mesh = create_mesh(fsdp=2, tp=2)
+    assert mesh.shape == {"data": 2, "fsdp": 2, "model": 2}
+
+    tree = {
+        "fanout_kernel": np.zeros((128, 2016)),  # fsdp on dim1, model on dim0
+        "bias": np.zeros((7,)),                  # replicated
+        "square": np.zeros((64, 64)),            # both axes shardable
+    }
+    shardings = fsdp_sharding(mesh, tree)
+    assert shardings["fanout_kernel"].spec == PartitionSpec("model", "fsdp")
+    assert shardings["bias"].spec == PartitionSpec()
+    assert set(shardings["square"].spec) == {"fsdp", "model"}
+
+
+def test_tp_train_step_runs():
+    """The driver contract: the full train step executes on a
+    dp=2 x fsdp=2 x model=2 mesh (same path dryrun_multichip takes).
+
+    Note: the SmallStem tiny config crashes XLA's CPU SPMD partitioner under
+    this 3-axis mesh (compiler abort, not a framework error); the flagship
+    DINOv2-test topology partitions fine, so that is what multi-chip runs
+    — and what this test exercises."""
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
