@@ -207,10 +207,15 @@ class CLIPVisionModel(nn.Module):
                 x, attentions = _Encoder(cc, dtype=self.dtype, name="encoder")(
                     x, output_attentions
                 )
-                x = nn.LayerNorm(
+                # HF parity: `last_hidden_state` is the RAW encoder output;
+                # post_layernorm only feeds the pooled CLS embedding (which
+                # the reference never consumes). The layer stays in the param
+                # tree for checkpoint compatibility. Verified bit-exact
+                # against FlaxCLIPVisionModel in test_hf_encoder_parity.py.
+                nn.LayerNorm(
                     epsilon=cc.layer_norm_eps, dtype=self.dtype,
                     name="post_layernorm",
-                )(x)
+                )(x[:, :1])
                 return x, attentions
 
         x, attentions = _VisionModel(c, dtype=self.dtype, name="vision_model")(

@@ -92,12 +92,56 @@ def load_t5_weights(name: str = "t5-base"):
     """Returns a T5 encoder param dict in our native layout, or None."""
     path = _find_msgpack(name)
     if path is None:
+        hf = _try_hf_t5(name)
+        if hf is not None:
+            return hf
         logging.warning(
             f"No pretrained weights for {name} found; the language encoder "
             "will use random init."
         )
         return None
     return _load_msgpack(path)
+
+
+def convert_hf_t5_params(hf_params):
+    """HF Flax T5 encoder layout -> our native layout (t5.py).
+
+    HF: shared/embedding, encoder/block/<i>/layer/{0,1}/..., encoder/
+    final_layer_norm. Ours flattens the per-layer modules into
+    block_<i>/layer_0_SelfAttention etc. (see T5EncoderModel)."""
+    hf_params = _to_builtin(hf_params)
+    out = {"shared_embedding": hf_params["shared"]["embedding"]}
+    enc = hf_params["encoder"]
+    out["final_layer_norm"] = enc["final_layer_norm"]
+    for i, blk in enc["block"].items():
+        b = {}
+        l0 = blk["layer"]["0"]
+        sa = dict(l0["SelfAttention"])
+        if "relative_attention_bias" in sa:
+            sa["relative_attention_bias"] = sa["relative_attention_bias"][
+                "embedding"
+            ]
+        b["layer_0_SelfAttention"] = sa
+        b["layer_0_layer_norm"] = l0["layer_norm"]
+        l1 = blk["layer"]["1"]
+        b["layer_1_DenseReluDense_wi"] = l1["DenseReluDense"]["wi"]
+        b["layer_1_DenseReluDense_wo"] = l1["DenseReluDense"]["wo"]
+        b["layer_1_layer_norm"] = l1["layer_norm"]
+        out[f"block_{i}"] = b
+    return out
+
+
+def _try_hf_t5(name: str):
+    """Best-effort conversion from a locally-cached HF flax T5 encoder."""
+    try:
+        from transformers import FlaxT5EncoderModel
+
+        model = FlaxT5EncoderModel.from_pretrained(
+            name, local_files_only=True
+        )
+        return convert_hf_t5_params(model.params)
+    except Exception:
+        return None
 
 
 def _try_hf_dinov2(name: str):
