@@ -64,6 +64,22 @@ sys.path.insert(0, "/root/reference")
 
 import flax  # noqa: E402
 import flax.serialization  # noqa: E402
+
+# The reference hardcodes FlaxDinov2Model.from_pretrained("facebook/
+# dinov2-base") — a hub download it only uses for the CONFIG (its params are
+# randomly re-initialized by base_net.init). Patch it to a deterministic tiny
+# model matching our "dinov2-test" named config so the DINOv2 shared-encoder
+# path runs offline.
+import transformers  # noqa: E402
+
+_TINY_DINO_HF = transformers.Dinov2Config(
+    hidden_size=32, num_hidden_layers=2, num_attention_heads=2, mlp_ratio=4,
+    patch_size=14, image_size=224, layerscale_value=1.0,
+)
+transformers.FlaxDinov2Model.from_pretrained = classmethod(
+    lambda cls, *a, **k: cls(_TINY_DINO_HF, seed=0)
+)
+
 from hypervla.model import HyperVLA as RefHyperVLA  # noqa: E402
 
 from helpers import make_example_batch  # noqa: E402
@@ -91,6 +107,25 @@ CASES = {
     ),
     # NOTE: the reference forwards action_head_kwargs verbatim to
     # ContinuousActionHead, so only keys its __init__ accepts may be present.
+    # the flagship topology: DINOv2 shared image encoder (tiny twin),
+    # initial-image conditioning, shared layer indices
+    "dinov2_shared": dict(
+        config_kwargs=dict(encoder_type="DINOv2"),
+        batch_kwargs=dict(
+            image_size=224, initial_image=True, initial_patch_dim=32
+        ),
+        perturb=True,
+        # drop this framework's vit_kwargs extensions the reference's ViT
+        # doesn't know (it hardcodes facebook/dinov2-base etc.)
+        post=lambda c: [
+            c["base_net_kwargs"]["vit_kwargs"].pop(k, None)
+            for k in (
+                "pretrained_encoder_name", "encoder_dtype",
+                "use_flash_attention", "sow_dino_attention",
+                "scan_dino_layers",
+            )
+        ],
+    ),
     # NOTE: the reference forwards action_head_kwargs verbatim to
     # ContinuousActionHead, so only keys its __init__ accepts may be present.
     "continuous_head": dict(
@@ -133,10 +168,13 @@ def run_case(name, config_kwargs, batch_kwargs, perturb, post=None):
     # breaks pjit cache-equality checks once a SECOND model instance exists
     # (the bug hypervla_tpu/utils/static.py fixes); fresh caches per case
     jax.clear_caches()
-    config = tiny_test_config(encoder_type="SmallStem", **config_kwargs)
+    config_kwargs = dict(config_kwargs)
+    encoder_type = config_kwargs.pop("encoder_type", "SmallStem")
+    config = tiny_test_config(encoder_type=encoder_type, **config_kwargs)
     if post is not None:
         post(config)
-    batch = make_example_batch(batch_size=2, image_size=64, **batch_kwargs)
+    batch_kwargs = dict({"image_size": 64}, **batch_kwargs)
+    batch = make_example_batch(batch_size=2, **batch_kwargs)
     model = RefHyperVLA.from_config(config, batch, jax.random.PRNGKey(0))
     if perturb:
         model = model.replace(

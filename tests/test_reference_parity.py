@@ -32,7 +32,16 @@ CASE_CONFIG = {
         hypernet_kwargs=dict(use_initial_image=True,
                              scale_context_embedding=True)
     ),
+    "dinov2_shared": dict(encoder_type="DINOv2"),
     "continuous_head": dict(action_head_type="continuous"),
+}
+CASE_BATCH = {
+    "initial_image": dict(
+        initial_image=True, initial_patch_tokens=17, initial_patch_dim=32
+    ),
+    "dinov2_shared": dict(
+        image_size=224, initial_image=True, initial_patch_dim=32
+    ),
 }
 
 
@@ -60,7 +69,8 @@ def _build(case, golden):
     from hypervla_tpu.utils.convert import convert_reference_params
 
     config_kwargs = dict(CASE_CONFIG[case])
-    config = tiny_test_config(encoder_type="SmallStem", **config_kwargs)
+    encoder_type = config_kwargs.pop("encoder_type", "SmallStem")
+    config = tiny_test_config(encoder_type=encoder_type, **config_kwargs)
     if case == "continuous_head":
         config["base_net_kwargs"]["action_head_kwargs"] = {
             k: v
@@ -71,12 +81,8 @@ def _build(case, golden):
                 "clip_target",
             )
         }
-    batch_kwargs = (
-        dict(initial_image=True, initial_patch_tokens=17, initial_patch_dim=32)
-        if case == "initial_image"
-        else {}
-    )
-    batch = make_example_batch(batch_size=2, image_size=64, **batch_kwargs)
+    batch_kwargs = dict({"image_size": 64}, **CASE_BATCH.get(case, {}))
+    batch = make_example_batch(batch_size=2, **batch_kwargs)
     model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(0))
     ref_params = convert_reference_params(golden["hypernet_params"])
     assert jax.tree_util.tree_structure(
