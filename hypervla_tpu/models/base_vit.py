@@ -56,6 +56,8 @@ class ViT(nn.Module):
     # param buffers instead of ~190 -> far less per-step host dispatch).
     # Incompatible with sow_dino_attention.
     scan_dino_layers: bool = False
+    # single-pass Pallas LayerNorm in the trunk (inference-only serving path)
+    fused_layer_norm: bool = False
 
     def setup(self):
         if self.encoder_type == "DINOv2":
@@ -67,6 +69,7 @@ class ViT(nn.Module):
                 dtype=jnp.dtype(self.encoder_dtype),
                 use_flash=self.use_flash_attention,
                 scan_layers=self.scan_dino_layers,
+                fused_ln=self.fused_layer_norm,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

@@ -167,6 +167,34 @@ def _interpolate_pos_encoding(config, hidden_states, height, width, position_emb
     return out.astype(hidden_states.dtype)
 
 
+class _FusedLayerNorm(nn.Module):
+    """LayerNorm with nn.LayerNorm-compatible params ("scale"/"bias") backed
+    by the single-pass Pallas kernel (ops/layer_norm.py). Inference-only
+    paths (no custom VJP); training keeps nn.LayerNorm."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        from hypervla_tpu.ops.layer_norm import layer_norm
+
+        # statistics in fp32 on the UNCAST input (nn.LayerNorm semantics);
+        # only the output drops to the compute dtype
+        return layer_norm(x, scale, bias, eps=self.epsilon).astype(self.dtype)
+
+
+def _layer_norm(config, dtype, fused, name):
+    if fused:
+        return _FusedLayerNorm(
+            epsilon=config.layer_norm_eps, dtype=dtype, name=name
+        )
+    return nn.LayerNorm(epsilon=config.layer_norm_eps, dtype=dtype, name=name)
+
+
 class _SelfAttention(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
@@ -289,21 +317,21 @@ class _Layer(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         c = self.config
-        normed = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,
-                              name="norm1")(hidden_states)
+        normed = _layer_norm(c, self.dtype, self.fused_ln, "norm1")(
+            hidden_states
+        )
         attn_outputs = _Attention(
             c, dtype=self.dtype, use_flash=self.use_flash, name="attention"
         )(normed, output_attentions=output_attentions)
         attn = _LayerScale(c, name="layer_scale1")(attn_outputs[0])
         hidden_states = attn + hidden_states
 
-        y = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="norm2")(
-            hidden_states
-        )
+        y = _layer_norm(c, self.dtype, self.fused_ln, "norm2")(hidden_states)
         if c.use_swiglu_ffn:
             y = _SwiGLUFFN(c, dtype=self.dtype, name="mlp")(y)
         else:
@@ -316,6 +344,7 @@ class _LayerCollection(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -323,7 +352,7 @@ class _LayerCollection(nn.Module):
         for i in range(self.config.num_hidden_layers):
             outputs = _Layer(
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
-                name=str(i),
+                fused_ln=self.fused_ln, name=str(i),
             )(hidden_states, output_attentions=output_attentions)
             hidden_states = outputs[0]
             if output_attentions:
@@ -337,12 +366,13 @@ class _ScanBlock(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         out = _Layer(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
-            name="layer",
+            fused_ln=self.fused_ln, name="layer",
         )(carry)
         # fp32 layer-scale params upcast the residual; keep the carry dtype
         return out[0].astype(carry.dtype), None
@@ -353,6 +383,7 @@ class _Encoder(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     scan_layers: bool = False
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -373,12 +404,12 @@ class _Encoder(nn.Module):
             )
             hidden_states, _ = scan(
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
-                name="layers",
+                fused_ln=self.fused_ln, name="layers",
             )(hidden_states, None)
             return hidden_states, None
         return _LayerCollection(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
-            name="layer",
+            fused_ln=self.fused_ln, name="layer",
         )(hidden_states, output_attentions=output_attentions)
 
 
@@ -393,6 +424,8 @@ class DINOv2Model(nn.Module):
     # not support output_attentions). Convert loop-layout checkpoints with
     # `stack_layer_params`.
     scan_layers: bool = False
+    # single-pass Pallas LayerNorm (inference-only serving path)
+    fused_ln: bool = False
 
     @nn.compact
     def __call__(
@@ -406,10 +439,11 @@ class DINOv2Model(nn.Module):
         )
         x, attentions = _Encoder(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
-            scan_layers=self.scan_layers, name="encoder",
+            scan_layers=self.scan_layers, fused_ln=self.fused_ln,
+            name="encoder",
         )(x, output_attentions=output_attentions)
-        x = nn.LayerNorm(
-            epsilon=self.config.layer_norm_eps, dtype=self.dtype, name="layernorm"
+        x = _layer_norm(
+            self.config, self.dtype, self.fused_ln, "layernorm"
         )(x)
         return DINOv2Output(
             last_hidden_state=x.astype(jnp.float32), attentions=attentions

@@ -62,3 +62,32 @@ def test_flash_bf16_io():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.ones((1, 16, 8)), atol=1e-2
     )
+
+
+def test_pallas_layer_norm_matches_flax():
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hypervla_tpu.ops.layer_norm import layer_norm
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 257, 48), jnp.float32)
+    scale = jnp.asarray(rng.randn(48), jnp.float32)
+    bias = jnp.asarray(rng.randn(48), jnp.float32)
+    got = layer_norm(x, scale, bias, eps=1e-6)
+    ref = nn.LayerNorm(epsilon=1e-6).apply(
+        {"params": {"scale": scale, "bias": bias}}, x
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # non-multiple row counts and bf16 output dtype
+    xb = x[:1, :100].astype(jnp.bfloat16)
+    got = layer_norm(xb, scale, bias, eps=1e-6)
+    ref = nn.LayerNorm(epsilon=1e-6, dtype=jnp.bfloat16).apply(
+        {"params": {"scale": scale, "bias": bias}}, xb
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
