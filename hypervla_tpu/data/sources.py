@@ -13,7 +13,6 @@ leading trajectory-length axis; images may be encoded bytes):
 Both expose: trajectories(shuffle, seed) -> iterator, and cardinality.
 """
 import glob
-import io
 import json
 import os
 import random

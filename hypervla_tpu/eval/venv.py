@@ -7,7 +7,6 @@ zero-copy between sim workers and the policy host process).
 """
 import ctypes
 import multiprocessing as mp
-from multiprocessing import connection
 from typing import Any, Callable, List, Optional
 
 import numpy as np

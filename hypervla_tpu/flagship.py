@@ -4,7 +4,6 @@ mix action head). Used by __graft_entry__.py and bench.py."""
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from hypervla_tpu.configs import flagship_pretrain_config, tiny_test_config

@@ -1,7 +1,6 @@
 """FiLM conditioning (parity: octo/model/components/film_conditioning_layer.py:8-33)."""
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 
 class FilmConditioning(nn.Module):

@@ -12,7 +12,6 @@ implements:
     orbax param step dirs).
 """
 import json
-import logging
 import os
 from functools import partial
 from typing import Any, Dict, Optional

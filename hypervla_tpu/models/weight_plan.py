@@ -24,7 +24,6 @@ from enum import IntEnum
 from typing import Any, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from hypervla_tpu.models.base_network import BaseNetwork

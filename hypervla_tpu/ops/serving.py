@@ -7,8 +7,6 @@ action un-normalization -> exponential action-chunk ensembling against a
 rolling on-device history buffer. The host only moves one uint8 frame in and
 one 7-float action out per tick.
 """
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ loop. Behavioral parity preserved:
     pretrained values;
   * per-task loss logging via boolean masks.
 """
-import functools
 from typing import Any, Callable, Dict, Optional
 
 import jax

@@ -7,7 +7,6 @@ wandb logging, per-task loss masks, save/validation callbacks, and resume
 mirror the reference trainer's behavior.
 """
 import logging
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
