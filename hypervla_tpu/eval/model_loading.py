@@ -96,18 +96,23 @@ def build_text_encoder(model, tokenizer_name: str = "t5-base",
         ids = jnp.ones((1, max_length), dtype=jnp.int32)
         params = encoder.init(jax.random.PRNGKey(0), ids)["params"]
 
+    # Params must be a jit ARGUMENT, not a closure capture: large captured
+    # arrays get baked into the serialized computation and overflow the
+    # remote-compile request limit on tunneled TPU backends.
     @jax.jit
-    def _embed(input_ids, attention_mask):
+    def _embed(params, input_ids, attention_mask):
         return encoder.apply(
             {"params": params}, input_ids, attention_mask
         )
+
+    params = jax.device_put(params)
 
     def encode(strings):
         if isinstance(strings, (str, bytes)):
             strings = [strings]
         tokens = tokenizer.encode(strings)
         embedding = np.asarray(
-            _embed(tokens["input_ids"], tokens["attention_mask"])
+            _embed(params, tokens["input_ids"], tokens["attention_mask"])
         )
         return {
             "language_instruction": {
