@@ -1,29 +1,37 @@
-"""Action prediction heads (parity: hypervla/components/action_heads.py).
+"""Action prediction heads.
 
-Every head does chunked action prediction: at each window timestep it predicts
-the next `action_horizon` actions. The flagship head is MixActionHead:
-continuous (tanh-squashed) arm dimensions + a binary-sigmoid gripper dimension.
+Capability parity with hypervla/components/action_heads.py (continuous /
+discrete / mix / MLP-ResNet DDPM / U-Net DDPM heads and the shared masked
+loss helpers). Every head does chunked action prediction: at each window
+timestep it predicts the next `action_horizon` actions.
 
-Loss-semantics notes carried over from the reference:
-  * masked_mean averages loss over the *broadcast* mask, then each head
-    multiplies back by its action_dim so losses sum over action dims.
+Loss-semantics invariants carried over from the reference (pinned by
+tests/test_action_heads.py goldens):
+  * masked_mean averages over the *broadcast* mask; heads multiply the
+    per-dim mean loss back by their action_dim so losses sum over dims.
   * MixActionHead decodes the gripper as (logit >= 0).
-  * DiffusionActionHead uses a 20-step DDPM with cosine betas, run as a
-    lax.scan (static trip count — XLA unrolls/pipelines it on TPU).
+  * DDPM heads train on eps-prediction with a cosine schedule; sampling
+    runs as a lax.scan (static trip count — XLA pipelines it on TPU).
+
+Structural choices of this implementation (vs the reference):
+  * one `_pooled_readout` helper owns the MAP/mean/flatten pooling all heads
+    share;
+  * the DDPM forward/reverse process lives in one `DDPMSchedule` value used
+    by both diffusion heads instead of per-head alpha bookkeeping;
+  * no einops — shapes are reshaped with static sizes.
 """
 import logging
-from abc import ABC, abstractmethod
-from typing import Dict, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import optax
-from einops import rearrange
 from jax import Array
 from jax.typing import ArrayLike
 
-from hypervla_tpu.models.diffusion import cosine_beta_schedule, create_diffusion_model
+from hypervla_tpu.models.diffusion import create_diffusion_model
 from hypervla_tpu.models.token_group import TokenGroup
 from hypervla_tpu.models.tokenizers import BinTokenizer
 from hypervla_tpu.models.transformer import MAPHead
@@ -33,355 +41,398 @@ from hypervla_tpu.typing import PRNGKey
 EPS = 1e-6
 
 
-class ActionHead(ABC):
-    """Interface for modules that map transformer outputs to actions."""
-
-    @abstractmethod
-    def loss(
-        self,
-        transformer_outputs: Dict[str, TokenGroup],
-        actions: ArrayLike,
-        timestep_pad_mask: ArrayLike,
-        action_pad_mask: ArrayLike,
-        train: bool = True,
-    ) -> Tuple[Array, Dict[str, Array]]:
-        raise NotImplementedError
-
-    @abstractmethod
-    def predict_action(
-        self,
-        transformer_outputs: Dict[str, TokenGroup],
-        argmax: bool = False,
-        sample_shape: Tuple[int, ...] = (),
-        rng: Optional[PRNGKey] = None,
-        temperature: float = 1.0,
-        train: bool = False,
-        embodiment_action_dim: Optional[int] = None,
-    ) -> Array:
-        """Predict the action for the last timestep in the window; returns
-        (*sample_shape, batch_size, action_horizon, action_dim)."""
-        raise NotImplementedError
-
+# --------------------------------------------------------------------------
+# masked loss primitives
+# --------------------------------------------------------------------------
 
 def masked_mean(x, mask):
+    """Mean of x over elements where (broadcast) mask is set."""
     mask = jnp.broadcast_to(mask, x.shape)
-    return jnp.mean(x * mask) / jnp.clip(jnp.mean(mask), min=1e-5)
+    denom = jnp.clip(jnp.mean(mask), min=1e-5)
+    return jnp.mean(x * mask) / denom
 
 
-def continuous_loss(pred_value, ground_truth_value, mask, loss_type: str = "mse"):
-    if loss_type == "mse":
-        loss = jnp.square(pred_value - ground_truth_value)
-    elif loss_type == "l1":
-        loss = jnp.abs(pred_value - ground_truth_value)
-    else:
+_PENALTIES = {
+    "mse": lambda d: jnp.square(d),
+    "l1": lambda d: jnp.abs(d),
+}
+
+
+def continuous_loss(pred_value, ground_truth_value, mask, loss_type="mse"):
+    if loss_type not in _PENALTIES:
         raise ValueError(f"Invalid loss type: {loss_type}")
-    loss = masked_mean(loss, mask)
-    mse = masked_mean(jnp.square(pred_value - ground_truth_value), mask)
+    err = pred_value - ground_truth_value
+    loss = masked_mean(_PENALTIES[loss_type](err), mask)
+    mse = loss if loss_type == "mse" else masked_mean(jnp.square(err), mask)
     return loss, {"loss": loss, "mse": mse}
 
 
-def discrete_loss(discrete_tokenizer: BinTokenizer, logits, ground_truth_value, mask):
+def discrete_loss(discrete_tokenizer: BinTokenizer, logits,
+                  ground_truth_value, mask):
+    """Cross-entropy against tokenized targets + accuracy/decoded-MSE."""
     labels = discrete_tokenizer(ground_truth_value)
-    labels_one_hot = jax.nn.one_hot(labels, logits.shape[-1])
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    loss = masked_mean(-jnp.sum(logprobs * labels_one_hot, axis=-1), mask)
+    nll = -jnp.take_along_axis(
+        jax.nn.log_softmax(logits, axis=-1), labels[..., None], axis=-1
+    )[..., 0]
+    loss = masked_mean(nll, mask)
     pred_label = jnp.argmax(logits, axis=-1)
     accuracy = masked_mean(pred_label == labels, mask)
-    pred_value = discrete_tokenizer.decode(pred_label)
-    mse = masked_mean(jnp.square(pred_value - ground_truth_value), mask)
+    decoded = discrete_tokenizer.decode(pred_label)
+    mse = masked_mean(jnp.square(decoded - ground_truth_value), mask)
     return loss, {"loss": loss, "mse": mse, "accuracy": accuracy}
 
 
 def binary_loss(logits, ground_truth_value, mask):
-    loss = optax.losses.sigmoid_binary_cross_entropy(logits, ground_truth_value)
-    loss = masked_mean(loss, mask)
+    bce = optax.losses.sigmoid_binary_cross_entropy(
+        logits, ground_truth_value
+    )
+    loss = masked_mean(bce, mask)
     return loss, {"loss": loss}
 
 
-class ContinuousActionHead(nn.Module, ActionHead):
-    """Tanh-squashed continuous regression head."""
+def _chunk_mask(timestep_pad_mask, action_pad_mask):
+    """(b, w) & (b, w, h, a) -> the per-element loss mask."""
+    return timestep_pad_mask[:, :, None, None] & action_pad_mask
+
+
+def _pooled_readout(token_group: TokenGroup, map_head=None,
+                    train: bool = False, flatten: bool = False) -> Array:
+    """(b, w, tokens, emb) -> (b, w, emb'): MAP attention pooling when a
+    head is supplied, token-flattening when asked, mean-pool otherwise."""
+    assert token_group.tokens.ndim == 4, (
+        f"expected (batch, window, tokens, emb), got "
+        f"{token_group.tokens.shape}"
+    )
+    if map_head is not None:
+        return map_head(token_group, train=train)[:, :, 0]
+    if flatten:
+        b, w = token_group.tokens.shape[:2]
+        return token_group.tokens.reshape(b, w, -1)
+    return token_group.tokens.mean(axis=-2)
+
+
+def _squash(x, scaling_factor: float, max_action: float) -> Array:
+    """Bounded continuous output: max_action * tanh(x / scaling_factor)."""
+    return jnp.tanh(x / scaling_factor) * max_action
+
+
+def _embodiment_mask(lead_shape, action_horizon, action_dim,
+                     embodiment_action_dim) -> Array:
+    """Boolean (.., horizon, dim) mask of VALID action dims; dims past the
+    embodiment's action space stay pure noise during DDPM sampling. Warns
+    when no embodiment dim is given (matching the reference behavior)."""
+    mask = jnp.ones((*lead_shape, action_horizon, action_dim), dtype=bool)
+    if embodiment_action_dim is None:
+        logging.warning(
+            "embodiment_action_dim is recommended for the diffusion head "
+            "if any action dimensions were masked during training"
+        )
+        return mask
+    return mask.at[..., embodiment_action_dim:].set(False)
+
+
+# --------------------------------------------------------------------------
+# DDPM machinery shared by the diffusion heads
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class DDPMSchedule:
+    """Precomputed cosine-schedule tensors + the forward/reverse algebra."""
+
+    betas: Array
+    alphas: Array
+    alpha_bars: Array
+
+    @classmethod
+    def cosine(cls, timesteps: int) -> "DDPMSchedule":
+        betas = jnp.asarray(
+            unet_squaredcos_cap_v2(timesteps), dtype=jnp.float32
+        )
+        alphas = 1.0 - betas
+        return cls(betas=betas, alphas=alphas,
+                   alpha_bars=jnp.cumprod(alphas))
+
+    @property
+    def num_steps(self) -> int:
+        return self.betas.shape[0]
+
+    def q_sample(self, x0, t, eps):
+        """Forward process: noise x0 to step t."""
+        return (
+            jnp.sqrt(self.alpha_bars[t]) * x0
+            + jnp.sqrt(1 - self.alpha_bars[t]) * eps
+        )
+
+    def ddpm_prev_mean(self, x_t, eps_pred, t):
+        """Posterior mean via the eps parameterization."""
+        return (
+            x_t - (1 - self.alphas[t]) / jnp.sqrt(1 - self.alpha_bars[t])
+            * eps_pred
+        ) / jnp.sqrt(self.alphas[t])
+
+
+# --------------------------------------------------------------------------
+# heads
+# --------------------------------------------------------------------------
+
+class ActionHead:
+    """Protocol marker for modules that map transformer outputs to actions.
+
+    Every head exposes
+      loss(transformer_outputs, actions, timestep_pad_mask, action_pad_mask,
+           train) -> (scalar, metrics dict)
+      predict_action(transformer_outputs, ...) ->
+           (*sample_shape, batch, action_horizon, action_dim)
+    where predict_action decodes the LAST window timestep.
+    """
+
+
+class ChunkedHead(nn.Module, ActionHead):
+    """Shared configuration surface of the regression-style heads: where to
+    read tokens from, the chunk geometry, and the tanh squashing / target
+    clipping knobs."""
 
     readout_key: str
-    use_map: bool = False
-    action_horizon: int = 1
     action_dim: int = 7
-    max_action: float = 5.0
-    loss_type: str = "mse"
+    action_horizon: int = 1
+    use_map: bool = False
     token_per_horizon: bool = False
-    squash_continuous_action: bool = True
+    loss_type: str = "mse"
+    max_action: float = 5.0
     tanh_scaling_factor: float = 5.0
+    squash_continuous_action: bool = True
     clip_target: bool = False
+
+    def _maybe_squash(self, x):
+        if not self.squash_continuous_action:
+            return x
+        return _squash(x, self.tanh_scaling_factor, self.max_action)
+
+    def _maybe_clip_target(self, actions):
+        if not self.clip_target:
+            return actions
+        return jnp.clip(actions, -self.max_action, self.max_action)
+
+    def _decode_last_step(self, per_window_action, sample_shape):
+        last = per_window_action[:, -1]
+        return jnp.broadcast_to(last, sample_shape + last.shape)
+
+
+class ContinuousActionHead(ChunkedHead):
+    """Tanh-squashed continuous regression head."""
 
     def setup(self):
         if self.use_map:
             self.map_head = MAPHead()
         self.mean_proj = nn.Dense(self.action_horizon * self.action_dim)
 
-    def __call__(
-        self, transformer_outputs: Dict[str, TokenGroup], train: bool = True
-    ) -> jax.Array:
-        token_group = transformer_outputs[self.readout_key]
-        assert token_group.tokens.ndim == 4, (
-            f"expected (batch, window, tokens, emb), got {token_group.tokens.shape}"
+    def __call__(self, transformer_outputs, train: bool = True) -> Array:
+        emb = _pooled_readout(
+            transformer_outputs[self.readout_key],
+            self.map_head if self.use_map else None, train,
         )
-        if self.use_map:
-            embeddings = self.map_head(token_group, train=train)[:, :, 0]
-        else:
-            embeddings = token_group.tokens.mean(axis=-2)
-        mean = self.mean_proj(embeddings)
-        mean = rearrange(
-            mean, "b w (h a) -> b w h a", h=self.action_horizon, a=self.action_dim
+        mean = self.mean_proj(emb)
+        mean = mean.reshape(
+            *mean.shape[:2], self.action_horizon, self.action_dim
         )
-        if self.squash_continuous_action:
-            mean = jnp.tanh(mean / self.tanh_scaling_factor) * self.max_action
-        return mean
+        return self._maybe_squash(mean)
 
-    def loss(
-        self,
-        transformer_outputs,
-        actions,
-        timestep_pad_mask,
-        action_pad_mask,
-        train: bool = True,
-    ):
+    def loss(self, transformer_outputs, actions, timestep_pad_mask,
+             action_pad_mask, train: bool = True):
         mean = self(transformer_outputs, train=train)
-        mask = timestep_pad_mask[:, :, None, None] & action_pad_mask
-        if self.clip_target:
-            actions = jnp.clip(actions, -self.max_action, self.max_action)
-        loss, metrics = continuous_loss(mean, actions, mask, loss_type=self.loss_type)
-        # sum (not mean) over action dims
-        loss = loss * self.action_dim
-        metrics["loss"] = metrics["loss"] * self.action_dim
-        metrics["mse"] = metrics["mse"] * self.action_dim
-        return loss, metrics
+        loss, metrics = continuous_loss(
+            mean,
+            self._maybe_clip_target(actions),
+            _chunk_mask(timestep_pad_mask, action_pad_mask),
+            loss_type=self.loss_type,
+        )
+        # per-dim means -> sums over the action dimension
+        return loss * self.action_dim, {
+            k: v * self.action_dim for k, v in metrics.items()
+        }
 
-    def predict_action(
-        self, transformer_outputs, train: bool = True, *args,
-        sample_shape: tuple = (), **kwargs,
-    ) -> jax.Array:
-        mean = self(transformer_outputs, train=train)[:, -1]
-        return jnp.broadcast_to(mean, sample_shape + mean.shape)
+    def predict_action(self, transformer_outputs, train: bool = True,
+                       *args, sample_shape: tuple = (), **kwargs) -> Array:
+        return self._decode_last_step(
+            self(transformer_outputs, train=train), sample_shape
+        )
 
 
 class DiscreteActionHead(nn.Module, ActionHead):
     """Discretized action head over a BinTokenizer vocabulary.
 
-    token_per selects the token/action mapping: "" = one token for everything,
-    "action_horizon" = one token per horizon step, "action_dim_and_action_horizon"
-    = one token per (dim, step).
+    token_per selects the token/action mapping: "" = one token for
+    everything, "action_horizon" = one token per horizon step,
+    "action_dim_and_action_horizon" = one token per (dim, step).
     """
 
     readout_key: str
-    use_map: bool = False
-    token_per: str = "action_dim_and_action_horizon"
-    action_horizon: int = 1
     action_dim: int = 7
+    action_horizon: int = 1
     vocab_size: int = 256
+    use_map: bool = False
     normalization_type: str = "uniform"
+    token_per: str = "action_dim_and_action_horizon"
+
+    # token layout table: token_per -> tokens used per window step
+    def _layout(self) -> int:
+        layouts = {
+            "": 1,
+            "action_horizon": self.action_horizon,
+            "action_dim_and_action_horizon":
+                self.action_horizon * self.action_dim,
+        }
+        if self.token_per not in layouts:
+            raise ValueError(f"Invalid token_per: {self.token_per}")
+        return layouts[self.token_per]
 
     def setup(self):
-        total_output = self.action_horizon * self.action_dim * self.vocab_size
-        if self.token_per == "":
-            self.n_tokens = 1
-            self.final_layer_size = total_output
-        elif self.token_per == "action_horizon":
-            self.n_tokens = self.action_horizon
-            self.final_layer_size = total_output // self.action_horizon
-        elif self.token_per == "action_dim_and_action_horizon":
-            self.n_tokens = self.action_horizon * self.action_dim
-            self.final_layer_size = self.vocab_size
-        else:
-            raise ValueError(f"Invalid token_per: {self.token_per}")
+        n_tokens = self._layout()
+        self.n_tokens = n_tokens
+        self.final_layer_size = (
+            self.action_horizon * self.action_dim * self.vocab_size
+        ) // n_tokens
         if self.use_map:
-            self.map_head = MAPHead(num_readouts=self.n_tokens)
+            self.map_head = MAPHead(num_readouts=n_tokens)
         self.vocab_proj = nn.Dense(self.final_layer_size)
         self.action_tokenizer = BinTokenizer(
             n_bins=self.vocab_size, bin_type=self.normalization_type
         )
 
-    def __call__(
-        self, transformer_outputs: Dict[str, TokenGroup], train: bool = True
-    ) -> jax.Array:
-        token_group = transformer_outputs[self.readout_key]
-        assert token_group.tokens.ndim == 4, (
-            f"expected (batch, window, tokens, emb), got {token_group.tokens.shape}"
+    def __call__(self, transformer_outputs, train: bool = True) -> Array:
+        group = transformer_outputs[self.readout_key]
+        assert group.tokens.ndim == 4, (
+            f"expected (batch, window, tokens, emb), got "
+            f"{group.tokens.shape}"
         )
         if self.use_map:
-            embeddings = self.map_head(token_group, train=train)
+            per_token = self.map_head(group, train=train)
         else:
-            embeddings = token_group.tokens
-            assert embeddings.shape[-2] == self.n_tokens, (
+            per_token = group.tokens
+            assert per_token.shape[-2] == self.n_tokens, (
                 f"discrete head expects {self.n_tokens} tokens"
             )
-        batch_size, window_size = embeddings.shape[:2]
-        logits = self.vocab_proj(embeddings)
-        return logits.reshape(
-            batch_size, window_size, self.action_horizon, self.action_dim,
+        return self.vocab_proj(per_token).reshape(
+            *per_token.shape[:2], self.action_horizon, self.action_dim,
             self.vocab_size,
         )
 
-    def loss(
-        self,
-        transformer_outputs,
-        actions,
-        timestep_pad_mask,
-        action_pad_mask,
-        train: bool = True,
-    ):
-        action_logits = self(transformer_outputs, train=train)
-        mask = timestep_pad_mask[:, :, None, None] & action_pad_mask
+    def loss(self, transformer_outputs, actions, timestep_pad_mask,
+             action_pad_mask, train: bool = True):
+        logits = self(transformer_outputs, train=train)
         loss, metrics = discrete_loss(
-            self.action_tokenizer, action_logits, actions, mask
+            self.action_tokenizer, logits, actions,
+            _chunk_mask(timestep_pad_mask, action_pad_mask),
         )
         metrics["mse"] = metrics["mse"] * self.action_dim
         return loss, metrics
 
-    def predict_action(
-        self,
-        transformer_outputs,
-        train: bool = True,
-        argmax: bool = False,
-        sample_shape: tuple = (),
-        rng: Optional[PRNGKey] = None,
-        temperature: float = 1.0,
-        **unused_kwargs,
-    ) -> jax.Array:
-        action_logits = self(transformer_outputs, train=train)[:, -1]
+    def predict_action(self, transformer_outputs, train: bool = True, *,
+                       rng: Optional[PRNGKey] = None, argmax: bool = False,
+                       temperature: float = 1.0, sample_shape: tuple = (),
+                       **unused_kwargs) -> Array:
+        logits = self(transformer_outputs, train=train)[:, -1]
         if argmax:
-            action_tokens = jnp.argmax(action_logits, axis=-1).astype(jnp.int32)
-            action_tokens = jnp.broadcast_to(
-                action_tokens, sample_shape + action_tokens.shape
-            )
+            choice = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            choice = jnp.broadcast_to(choice, sample_shape + choice.shape)
         else:
-            action_tokens = jax.random.categorical(
-                rng, action_logits / temperature, axis=-1,
-                shape=sample_shape + action_logits.shape[:-1],
+            choice = jax.random.categorical(
+                rng, logits / temperature, axis=-1,
+                shape=sample_shape + logits.shape[:-1],
             ).astype(jnp.int32)
-        return self.action_tokenizer.decode(action_tokens)
+        return self.action_tokenizer.decode(choice)
 
 
-class MixActionHead(nn.Module, ActionHead):
-    """Continuous arm dims + binary (sigmoid) gripper dim — the flagship head."""
+class MixActionHead(ChunkedHead):
+    """Continuous arm dims + binary (sigmoid) gripper dim — the flagship
+    head. The gripper is decoded as open/closed from the logit sign."""
 
-    readout_key: str
-    use_map: bool = False
-    action_horizon: int = 1
-    action_dim: int = 7
-    max_action: float = 5.0
-    loss_type: str = "mse"
-    token_per_horizon: bool = False
-    squash_continuous_action: bool = True
-    tanh_scaling_factor: float = 5.0
-    clip_target: bool = False
     hidden_dims: tuple = tuple()
 
     def setup(self):
         if self.use_map:
             self.map_head = MAPHead()
+        arm_dims = self.action_dim - 1
         if self.token_per_horizon:
-            self.continuous_head = nn.Dense(self.action_dim - 1)
+            # one readout token per horizon step; heads emit one step each
+            self.continuous_head = nn.Dense(arm_dims)
             self.discrete_head = nn.Dense(1)
         else:
-            self.continuous_head = nn.Dense(
-                self.action_horizon * (self.action_dim - 1)
-            )
+            # single readout token; heads emit the whole chunk
+            self.continuous_head = nn.Dense(self.action_horizon * arm_dims)
             self.discrete_head = nn.Dense(self.action_horizon)
 
     @nn.compact
-    def __call__(
-        self, transformer_outputs: Dict[str, TokenGroup], train: bool = True
-    ):
+    def __call__(self, transformer_outputs, train: bool = True):
         token_group = transformer_outputs[self.readout_key]
-        assert token_group.tokens.ndim == 4, (
-            f"expected (batch, window, tokens, emb), got {token_group.tokens.shape}"
+        tokens = token_group.tokens
+        assert tokens.ndim == 4, (
+            f"expected (batch, window, tokens, emb), got {tokens.shape}"
         )
-        if self.token_per_horizon:
-            assert token_group.tokens.shape[2] == self.action_horizon, (
-                f"token number {token_group.tokens.shape[2]} != horizon"
-            )
-            embedding = token_group.tokens
-            for dim in self.hidden_dims:
-                embedding = nn.Dense(dim)(embedding)
-                embedding = nn.LayerNorm()(embedding)
-                embedding = nn.swish(embedding)
-            continuous_action = self.continuous_head(embedding)
-            discrete_logits = self.discrete_head(embedding)
-        else:
-            assert token_group.tokens.shape[2] == 1, (
-                f"token number {token_group.tokens.shape[2]} != 1"
-            )
-            embedding = token_group.tokens.squeeze(2)
-            for dim in self.hidden_dims:
-                embedding = nn.Dense(dim)(embedding)
-                embedding = nn.LayerNorm()(embedding)
-                embedding = nn.swish(embedding)
-            continuous_action = self.continuous_head(embedding)
-            continuous_action = rearrange(
-                continuous_action,
-                "b w (h a) -> b w h a",
-                h=self.action_horizon,
-                a=self.action_dim - 1,
-            )
-            discrete_logits = self.discrete_head(embedding)[:, :, :, None]
+        expected = self.action_horizon if self.token_per_horizon else 1
+        assert tokens.shape[2] == expected, (
+            f"token number {tokens.shape[2]} != {expected}"
+        )
+        embedding = tokens if self.token_per_horizon else tokens.squeeze(2)
+        for dim in self.hidden_dims:
+            embedding = nn.swish(nn.LayerNorm()(nn.Dense(dim)(embedding)))
 
-        if self.squash_continuous_action:
-            continuous_action = (
-                jnp.tanh(continuous_action / self.tanh_scaling_factor)
-                * self.max_action
+        arm = self.continuous_head(embedding)
+        gripper_logits = self.discrete_head(embedding)
+        if not self.token_per_horizon:
+            arm = arm.reshape(
+                *arm.shape[:2], self.action_horizon, self.action_dim - 1
             )
-        return continuous_action, discrete_logits
+            gripper_logits = gripper_logits[:, :, :, None]
+        return self._maybe_squash(arm), gripper_logits
 
-    def loss(
-        self,
-        transformer_outputs,
-        actions,
-        timestep_pad_mask,
-        action_pad_mask,
-        train: bool = True,
-    ):
-        continuous_action, discrete_logits = self(transformer_outputs, train=train)
-        if self.clip_target:
-            actions = jnp.clip(actions, -self.max_action, self.max_action)
-        mask = timestep_pad_mask[:, :, None, None] & action_pad_mask
-        continuous_loss_term, _ = continuous_loss(
-            continuous_action,
-            actions[:, :, :, :-1],
-            mask[:, :, :, :-1],
+    def loss(self, transformer_outputs, actions, timestep_pad_mask,
+             action_pad_mask, train: bool = True):
+        arm_pred, gripper_logits = self(transformer_outputs, train=train)
+        actions = self._maybe_clip_target(actions)
+        mask = _chunk_mask(timestep_pad_mask, action_pad_mask)
+        arm_dims = self.action_dim - 1
+        arm_loss, _ = continuous_loss(
+            arm_pred, actions[..., :-1], mask[..., :-1],
             loss_type=self.loss_type,
         )
-        discrete_loss_term, _ = binary_loss(
-            discrete_logits, actions[:, :, :, -1:], mask[:, :, :, -1:]
+        arm_loss = arm_loss * arm_dims
+        gripper_loss, _ = binary_loss(
+            gripper_logits, actions[..., -1:], mask[..., -1:]
         )
-        loss = continuous_loss_term * (self.action_dim - 1) + discrete_loss_term
-        metrics = {
-            "continuous_loss": continuous_loss_term * (self.action_dim - 1),
-            "gripper_loss": discrete_loss_term,
+        return arm_loss + gripper_loss, {
+            "continuous_loss": arm_loss,
+            "gripper_loss": gripper_loss,
         }
-        return loss, metrics
 
-    def predict_action(
-        self, transformer_outputs, train: bool = True, *args,
-        sample_shape: tuple = (), **kwargs,
-    ) -> jax.Array:
-        continuous_actions, discrete_logits = self(transformer_outputs, train=train)
-        gripper_actions = (discrete_logits >= 0.0).astype(jnp.float32)
-        action = jnp.concatenate([continuous_actions, gripper_actions], -1)[:, -1]
-        return jnp.broadcast_to(action, sample_shape + action.shape)
+    def predict_action(self, transformer_outputs, train: bool = True,
+                       *args, sample_shape: tuple = (), **kwargs) -> Array:
+        arm, gripper_logits = self(transformer_outputs, train=train)
+        gripper = (gripper_logits >= 0.0).astype(jnp.float32)
+        return self._decode_last_step(
+            jnp.concatenate([arm, gripper], -1), sample_shape
+        )
 
 
 class MSEActionHead(ContinuousActionHead):
-    max_action: float = 5.0
-    loss_type: str = "mse"
+    """MAP-pooled continuous head, squared-error loss (octo's MSE head)."""
+
     use_map: bool = True
+    loss_type: str = "mse"
+    max_action: float = 5.0
 
 
 class L1ActionHead(ContinuousActionHead):
-    max_action: float = 5.0
-    loss_type: str = "l1"
+    """MAP-pooled continuous head, absolute-error loss (octo's L1 head)."""
+
     use_map: bool = True
+    loss_type: str = "l1"
+    max_action: float = 5.0
 
 
 class TokenPerDimActionHead(DiscreteActionHead):
+    """Discrete head reading one token per (horizon step, action dim)."""
+
     token_per: str = "action_dim_and_action_horizon"
 
 
@@ -389,16 +440,18 @@ class DiffusionActionHead(nn.Module):
     """MLP-ResNet DDPM action head (20 denoising steps by default)."""
 
     readout_key: str
-    use_map: bool = False
-    action_horizon: int = 1
     action_dim: int = 7
-    max_action: float = 5.0
+    action_horizon: int = 1
+    use_map: bool = False
     loss_type: str = "mse"
-    time_dim: int = 32
-    num_blocks: int = 3
-    dropout_rate: float = 0.0
+    max_action: float = 5.0
+    # score-network shape
     hidden_dim: int = 256
+    num_blocks: int = 3
+    time_dim: int = 32
     use_layer_norm: bool = True
+    dropout_rate: float = 0.0
+    # DDPM process
     diffusion_steps: int = 20
     n_diffusion_samples: int = 1
 
@@ -413,133 +466,101 @@ class DiffusionActionHead(nn.Module):
             hidden_dim=self.hidden_dim,
             use_layer_norm=self.use_layer_norm,
         )
-        self.betas = jnp.array(cosine_beta_schedule(self.diffusion_steps))
-        self.alphas = 1 - self.betas
-        self.alpha_hats = jnp.cumprod(self.alphas)
+        self.schedule = DDPMSchedule.cosine(self.diffusion_steps)
 
-    def __call__(
-        self,
-        transformer_outputs: Dict[str, TokenGroup],
-        time: Optional[ArrayLike] = None,
-        noisy_actions: Optional[ArrayLike] = None,
-        train: bool = True,
-    ) -> jax.Array:
-        token_group = transformer_outputs[self.readout_key]
-        assert token_group.tokens.ndim == 4, (
-            f"expected (batch, window, tokens, emb), got {token_group.tokens.shape}"
+    @property
+    def _flat_dim(self) -> int:
+        return self.action_dim * self.action_horizon
+
+    def __call__(self, transformer_outputs,
+                 time: Optional[ArrayLike] = None,
+                 noisy_actions: Optional[ArrayLike] = None,
+                 train: bool = True) -> Array:
+        emb = _pooled_readout(
+            transformer_outputs[self.readout_key],
+            self.map_head if self.use_map else None, train,
         )
-        if self.use_map:
-            embeddings = self.map_head(token_group, train=train)[:, :, 0]
-        else:
-            embeddings = token_group.tokens.mean(axis=-2)
-
-        if (time is None or noisy_actions is None) and not self.is_initializing():
-            raise ValueError("Must provide time and noisy_actions when calling.")
-        elif self.is_initializing():
-            time = jnp.zeros((*embeddings.shape[:2], 1), dtype=jnp.float32)
+        if self.is_initializing():
+            time = jnp.zeros((*emb.shape[:2], 1), dtype=jnp.float32)
             noisy_actions = jnp.zeros(
-                (*embeddings.shape[:2], self.action_dim * self.action_horizon),
-                dtype=jnp.float32,
+                (*emb.shape[:2], self._flat_dim), dtype=jnp.float32
             )
-        return self.diffusion_model(embeddings, noisy_actions, time, train=train)
+        elif time is None or noisy_actions is None:
+            raise ValueError("Must provide time and noisy_actions.")
+        return self.diffusion_model(emb, noisy_actions, time, train=train)
 
-    def loss(
-        self,
-        transformer_outputs,
-        actions,
-        timestep_pad_mask,
-        action_pad_mask,
-        train: bool = True,
-    ):
+    def loss(self, transformer_outputs, actions, timestep_pad_mask,
+             action_pad_mask, train: bool = True):
         batch_size, window_size = timestep_pad_mask.shape
-        actions_flat = rearrange(actions, "b w h a -> b w (h a)")
-        actions_flat = jnp.clip(actions_flat, -self.max_action, self.max_action)
+        x0 = jnp.clip(
+            actions.reshape(batch_size, window_size, self._flat_dim),
+            -self.max_action, self.max_action,
+        )
 
-        rng = self.make_rng("dropout")
-        time_key, noise_key = jax.random.split(rng)
+        time_key, noise_key = jax.random.split(self.make_rng("dropout"))
         time = jax.random.randint(
             time_key,
             (self.n_diffusion_samples, batch_size, window_size, 1),
-            0,
-            self.diffusion_steps,
+            0, self.schedule.num_steps,
         )
         noise = jax.random.normal(
-            noise_key, (self.n_diffusion_samples,) + actions_flat.shape
+            noise_key, (self.n_diffusion_samples,) + x0.shape
         )
-        scale = jnp.sqrt(self.alpha_hats[time])
-        std = jnp.sqrt(1 - self.alpha_hats[time])
-        noisy_actions = scale * actions_flat[None] + std * noise
+        noisy_actions = self.schedule.q_sample(x0[None], time, noise)
 
-        pred_eps = self(
-            transformer_outputs, train=train, time=time, noisy_actions=noisy_actions
+        pred_eps = self(transformer_outputs, train=train, time=time,
+                        noisy_actions=noisy_actions)
+
+        mask = _chunk_mask(timestep_pad_mask, action_pad_mask)
+        mask = mask.reshape(batch_size, window_size, self._flat_dim)[None]
+        loss, metrics = continuous_loss(
+            pred_eps, noise, mask, loss_type=self.loss_type
         )
+        return loss * self.action_dim, {
+            k: v * self.action_dim for k, v in metrics.items()
+        }
 
-        mask = timestep_pad_mask[:, :, None, None] & action_pad_mask
-        mask = rearrange(mask, "b w h a -> b w (h a)")[None]
-        loss, metrics = continuous_loss(pred_eps, noise, mask, loss_type=self.loss_type)
-        loss = loss * self.action_dim
-        metrics["loss"] = metrics["loss"] * self.action_dim
-        metrics["mse"] = metrics["mse"] * self.action_dim
-        return loss, metrics
-
-    def predict_action(
-        self,
-        transformer_outputs,
-        rng: PRNGKey,
-        train: bool = True,
-        embodiment_action_dim: Optional[int] = None,
-        *args,
-        sample_shape: tuple = (),
-        **kwargs,
-    ) -> jax.Array:
-        if embodiment_action_dim is None:
-            logging.warning(
-                "embodiment_action_dim is recommended for the diffusion head if "
-                "any action dimensions were masked during training"
-            )
-        batch_size, window_size = transformer_outputs[self.readout_key].tokens.shape[:2]
+    def predict_action(self, transformer_outputs, rng: PRNGKey,
+                       train: bool = True,
+                       embodiment_action_dim: Optional[int] = None,
+                       *args, sample_shape: tuple = (), **kwargs) -> Array:
+        sched = self.schedule
+        batch_size, window_size = (
+            transformer_outputs[self.readout_key].tokens.shape[:2]
+        )
         module, variables = self.unbind()
+        flat_action_mask = _embodiment_mask(
+            (*sample_shape, batch_size, window_size),
+            self.action_horizon, self.action_dim, embodiment_action_dim,
+        ).reshape(*sample_shape, batch_size, window_size, self._flat_dim)
 
-        action_mask = jnp.ones(
-            (*sample_shape, batch_size, window_size, self.action_horizon,
-             self.action_dim),
-            dtype=bool,
-        )
-        if embodiment_action_dim is not None:
-            action_mask = action_mask.at[..., embodiment_action_dim:].set(False)
-        flat_action_mask = rearrange(action_mask, "... p a -> ... (p a)")
-
-        def scan_fn(carry, time):
-            current_x, rng = carry
-            input_time = jnp.broadcast_to(time, (*current_x.shape[:-1], 1))
+        def denoise_step(carry, t):
+            x, step_rng = carry
+            t_in = jnp.broadcast_to(t, (*x.shape[:-1], 1))
             eps_pred = module.apply(
-                variables, transformer_outputs, input_time, current_x, train=train
+                variables, transformer_outputs, t_in, x, train=train
             )
-            alpha_1 = 1 / jnp.sqrt(self.alphas[time])
-            alpha_2 = (1 - self.alphas[time]) / jnp.sqrt(1 - self.alpha_hats[time])
-            current_x = alpha_1 * (current_x - alpha_2 * eps_pred)
-
-            rng, key = jax.random.split(rng)
-            z = jax.random.normal(key, shape=current_x.shape)
-            current_x = current_x + (time > 0) * (jnp.sqrt(self.betas[time]) * z)
-            current_x = jnp.clip(current_x, -self.max_action, self.max_action)
-            current_x = jnp.where(
-                flat_action_mask, current_x, jnp.sqrt(1 - self.alpha_hats[time]) * z
+            x = sched.ddpm_prev_mean(x, eps_pred, t)
+            step_rng, key = jax.random.split(step_rng)
+            z = jax.random.normal(key, shape=x.shape)
+            x = x + (t > 0) * (jnp.sqrt(sched.betas[t]) * z)
+            x = jnp.clip(x, -self.max_action, self.max_action)
+            # masked-out dims stay pure noise at the current level
+            x = jnp.where(
+                flat_action_mask, x, jnp.sqrt(1 - sched.alpha_bars[t]) * z
             )
-            return (current_x, rng), ()
+            return (x, step_rng), ()
 
         rng, key = jax.random.split(rng)
-        noise = jax.random.normal(
-            key,
-            (*sample_shape, batch_size, window_size,
-             self.action_horizon * self.action_dim),
+        x_T = jax.random.normal(
+            key, (*sample_shape, batch_size, window_size, self._flat_dim)
         )
-        (actions_flat, _), () = jax.lax.scan(
-            scan_fn, (noise, rng), jnp.arange(self.diffusion_steps - 1, -1, -1)
+        (flat, _), () = jax.lax.scan(
+            denoise_step, (x_T, rng),
+            jnp.arange(sched.num_steps - 1, -1, -1),
         )
-        actions = rearrange(
-            actions_flat, "... (h a) -> ... h a",
-            h=self.action_horizon, a=self.action_dim,
+        actions = flat.reshape(
+            *flat.shape[:-1], self.action_horizon, self.action_dim
         )
         return actions[..., -1, :, :]
 
@@ -550,18 +571,16 @@ class UNetDDPMActionHead(nn.Module):
     readout_key: str
     action_dim: int
     action_horizon: int
-    use_map: bool = False
     flatten_tokens: bool = False
-    timesteps: int = 100
+    use_map: bool = False
     max_action: float = 1.0
-    clip_sample: Optional[float] = None
+    timesteps: int = 100
     variance_type: str = "fixed_large"
+    clip_sample: Optional[float] = None
 
     def setup(self):
         self.action_proj = nn.Dense(self.action_dim)
-        betas = unet_squaredcos_cap_v2(self.timesteps).astype(jnp.float32)
-        self.alphas = 1.0 - betas
-        self.alphas_cumprod = jnp.cumprod(self.alphas, axis=0)
+        self.schedule = DDPMSchedule.cosine(self.timesteps)
         self.model = ConditionalUnet1D(
             down_features=(256, 512, 1024),
             mid_layers=2,
@@ -571,140 +590,116 @@ class UNetDDPMActionHead(nn.Module):
         if self.use_map:
             self.map_head = MAPHead()
 
-    def __call__(
-        self,
-        transformer_outputs: Dict[str, TokenGroup],
-        time: Optional[ArrayLike] = None,
-        noisy_actions: Optional[ArrayLike] = None,
-        train: bool = True,
-    ) -> jax.Array:
-        token_group = transformer_outputs[self.readout_key]
-        assert token_group.tokens.ndim == 4, (
-            f"expected (batch, window, tokens, emb), got {token_group.tokens.shape}"
+    def __call__(self, transformer_outputs,
+                 time: Optional[ArrayLike] = None,
+                 noisy_actions: Optional[ArrayLike] = None,
+                 train: bool = True) -> Array:
+        assert not (self.use_map and self.flatten_tokens), (
+            "Cannot use MAP and flattening!"
         )
-        if self.use_map:
-            assert not self.flatten_tokens, "Cannot use MAP and flattening!"
-            embeddings = self.map_head(token_group, train=train)[:, :, 0]
-        elif self.flatten_tokens:
-            embeddings = token_group.tokens.reshape((*token_group.tokens.shape[:2], -1))
-        else:
-            embeddings = token_group.tokens.mean(axis=-2)
-
-        if (time is None or noisy_actions is None) and not self.is_initializing():
-            raise ValueError("Must provide time and noisy_actions when calling.")
-        elif self.is_initializing():
-            time = jnp.zeros((*embeddings.shape[:2], 1), dtype=jnp.float32)
+        emb = _pooled_readout(
+            transformer_outputs[self.readout_key],
+            self.map_head if self.use_map else None, train,
+            flatten=self.flatten_tokens,
+        )
+        if self.is_initializing():
+            time = jnp.zeros((*emb.shape[:2], 1), dtype=jnp.float32)
             noisy_actions = jnp.zeros(
-                (*embeddings.shape[:2], self.action_horizon, self.action_dim),
+                (*emb.shape[:2], self.action_horizon, self.action_dim),
                 dtype=jnp.float32,
             )
-        pred_eps = self.model(embeddings, action=noisy_actions, time=time, train=train)
-        return self.action_proj(pred_eps)
+        elif time is None or noisy_actions is None:
+            raise ValueError("Must provide time and noisy_actions.")
+        eps = self.model(emb, action=noisy_actions, time=time, train=train)
+        return self.action_proj(eps)
 
-    def loss(
-        self,
-        transformer_outputs,
-        actions,
-        action_pad_mask,
-        timestep_pad_mask,
-        train: bool = True,
-    ):
+    def loss(self, transformer_outputs, actions, action_pad_mask,
+             timestep_pad_mask, train: bool = True):
         batch_size, window_size = timestep_pad_mask.shape[:2]
-        actions = jnp.clip(actions, -self.max_action, self.max_action)
+        x0 = jnp.clip(actions, -self.max_action, self.max_action)
 
-        rng = self.make_rng("dropout")
-        time_key, noise_key = jax.random.split(rng)
+        time_key, noise_key = jax.random.split(self.make_rng("dropout"))
         time = jax.random.randint(
             time_key, (batch_size, window_size, 1), 0, self.timesteps
         )
-        noise = jax.random.normal(noise_key, actions.shape)
-        sqrt_alpha_prod = jnp.sqrt(self.alphas_cumprod[time[:, None]])
-        sqrt_one_minus = jnp.sqrt(1 - self.alphas_cumprod[time[:, None]])
-        noisy_actions = sqrt_alpha_prod * actions + sqrt_one_minus * noise
+        noise = jax.random.normal(noise_key, x0.shape)
+        noisy_actions = self.schedule.q_sample(x0, time[:, None], noise)
 
-        pred_eps = self(
-            transformer_outputs, train=train, time=time, noisy_actions=noisy_actions
-        )
+        pred_eps = self(transformer_outputs, train=train, time=time,
+                        noisy_actions=noisy_actions)
         mask = (
-            jnp.broadcast_to(action_pad_mask[:, None, None, :], actions.shape)
+            jnp.broadcast_to(action_pad_mask[:, None, None, :], x0.shape)
             * timestep_pad_mask
         )
-        loss, metrics = continuous_loss(pred_eps, noise, mask, loss_type="mse")
-        loss = loss * self.action_dim
-        metrics["loss"] = metrics["loss"] * self.action_dim
-        metrics["mse"] = metrics["mse"] * self.action_dim
-        return loss, metrics
+        loss, metrics = continuous_loss(pred_eps, noise, mask,
+                                        loss_type="mse")
+        return loss * self.action_dim, {
+            k: v * self.action_dim for k, v in metrics.items()
+        }
 
-    def predict_action(
-        self,
-        transformer_outputs,
-        rng: PRNGKey,
-        train: bool = True,
-        embodiment_action_dim: Optional[int] = None,
-        *args,
-        **kwargs,
-    ) -> jax.Array:
-        batch_size, window_size = transformer_outputs[self.readout_key].tokens.shape[:2]
-        module, variables = self.unbind()
-
-        action_mask = jnp.ones(
-            (batch_size, window_size, self.action_horizon, self.action_dim),
-            dtype=bool,
+    def predict_action(self, transformer_outputs, rng: PRNGKey,
+                       train: bool = True,
+                       embodiment_action_dim: Optional[int] = None,
+                       *args, **kwargs) -> Array:
+        sched = self.schedule
+        batch_size, window_size = (
+            transformer_outputs[self.readout_key].tokens.shape[:2]
         )
-        if embodiment_action_dim is not None:
-            action_mask = action_mask.at[..., embodiment_action_dim:].set(False)
-        else:
-            logging.warning(
-                "embodiment_action_dim is recommended for the diffusion head if "
-                "any action dimensions were masked during training"
-            )
+        module, variables = self.unbind()
+        action_mask = _embodiment_mask(
+            (batch_size, window_size),
+            self.action_horizon, self.action_dim, embodiment_action_dim,
+        )
 
-        def loop_body(i, args):
-            sample, rng = args
-            time = self.timesteps - 1 - i
-            time = jnp.broadcast_to(time, (sample.shape[0], 1, 1))
-            alpha = self.alphas[time]
-            alpha_prod_t = self.alphas_cumprod[time]
-            alpha_prod_t_prev = jnp.where(
-                time > 0,
-                self.alphas_cumprod[time - 1],
-                jnp.array(1.0, dtype=jnp.float32),
+        def denoise_step(carry, t):
+            x_t, step_rng = carry
+            t_in = jnp.broadcast_to(t, (x_t.shape[0], 1, 1))
+            a_bar = sched.alpha_bars[t_in]
+            a_bar_prev = jnp.where(
+                t_in > 0,
+                sched.alpha_bars[t_in - 1],
+                jnp.float32(1.0),
             )
+            alpha = sched.alphas[t_in]
             eps = module.apply(
-                variables, transformer_outputs, time=time, noisy_actions=sample,
-                train=train,
+                variables, transformer_outputs, time=t_in,
+                noisy_actions=x_t, train=train,
             )
-            orig = (sample - jnp.sqrt(1 - alpha_prod_t) * eps) / jnp.sqrt(alpha_prod_t)
+            # x0 estimate, optionally clipped, then DDPM posterior mean
+            x0_est = (x_t - jnp.sqrt(1 - a_bar) * eps) / jnp.sqrt(a_bar)
             if self.clip_sample is not None:
-                orig = jnp.clip(orig, -self.clip_sample, self.clip_sample)
-            orig_coeff = jnp.sqrt(alpha_prod_t_prev) * (1 - alpha) / (1 - alpha_prod_t)
-            current_coeff = (
-                jnp.sqrt(alpha) * (1 - alpha_prod_t_prev) / (1 - alpha_prod_t)
-            )
-            prev = orig_coeff * orig + current_coeff * sample
+                x0_est = jnp.clip(x0_est, -self.clip_sample,
+                                  self.clip_sample)
+            x0_coeff = jnp.sqrt(a_bar_prev) * (1 - alpha) / (1 - a_bar)
+            xt_coeff = jnp.sqrt(alpha) * (1 - a_bar_prev) / (1 - a_bar)
+            x_prev = x0_coeff * x0_est + xt_coeff * x_t
 
-            variance = (1 - alpha_prod_t_prev) / (1 - alpha_prod_t) * (1 - alpha)
             if self.variance_type == "fixed_large":
-                variance = 1 - alpha
+                var = 1 - alpha
             elif self.variance_type == "fixed_small":
-                variance = jnp.clip(variance, min=1e-20)
+                var = jnp.clip(
+                    (1 - a_bar_prev) / (1 - a_bar) * (1 - alpha), min=1e-20
+                )
             else:
                 raise ValueError("Invalid schedule provided")
+            var = jnp.where(t_in > 0, var, jnp.zeros_like(eps))
 
-            rng, key = jax.random.split(rng)
-            variance = jnp.where(
-                time > 0, variance, jnp.zeros(eps.shape, dtype=jnp.float32)
+            step_rng, z_key = jax.random.split(step_rng)
+            z = jax.random.normal(z_key, x_t.shape, dtype=jnp.float32)
+            x_prev = jnp.where(
+                action_mask,
+                x_prev + jnp.sqrt(var) * z,
+                jnp.sqrt(1 - a_bar) * z,
             )
-            z = jax.random.normal(key, shape=sample.shape, dtype=jnp.float32)
-            prev = prev + jnp.sqrt(variance) * z
-            prev = jnp.where(action_mask, prev, jnp.sqrt(1 - alpha_prod_t) * z)
-            return (prev, rng)
+            return (x_prev, step_rng), ()
 
         rng, key = jax.random.split(rng)
-        noisy_action = jax.random.normal(
-            key, (batch_size, window_size, self.action_horizon, self.action_dim)
+        x_T = jax.random.normal(
+            key, (batch_size, window_size, self.action_horizon,
+                  self.action_dim),
         )
-        noisy_action, _ = jax.lax.fori_loop(
-            0, self.timesteps, loop_body, (noisy_action, rng)
+        (sample, _), () = jax.lax.scan(
+            denoise_step, (x_T, rng),
+            jnp.arange(self.timesteps - 1, -1, -1),
         )
-        return noisy_action
+        return sample

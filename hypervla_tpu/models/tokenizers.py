@@ -1,8 +1,15 @@
-"""Observation/task tokenizers (parity: octo/model/components/tokenizers.py).
+"""Observation/task tokenizers.
 
-The LanguageTokenizer wraps OUR native T5 encoder (hypervla_tpu.models.encoders.t5)
-rather than a HuggingFace module — same math, TPU-friendly implementation —
-but keeps the `hf_model` submodule name so param trees stay familiar.
+Capability parity with octo/model/components/tokenizers.py (ImageTokenizer,
+LanguageTokenizer, BinTokenizer, LowdimObsTokenizer, TokenLearner). The
+LanguageTokenizer wraps OUR native T5 encoder
+(hypervla_tpu.models.encoders.t5) rather than a HuggingFace module — same
+math, TPU-friendly implementation — but keeps the `hf_model` submodule name
+so param trees stay checkpoint-compatible.
+
+Structural choices vs the reference: key gathering is one `_gather_matching`
+helper shared by the tokenizers; BinTokenizer encodes with a vectorized
+searchsorted instead of materializing an (n_bins+1)-wide one-hot compare.
 """
 import logging
 import re
@@ -22,236 +29,279 @@ from hypervla_tpu.utils.spec import ModuleSpec
 EPS = 1e-6
 
 
+def regex_match(regex_keys, x) -> bool:
+    return any(re.match(pattern, x) for pattern in regex_keys)
+
+
+def regex_filter(regex_keys, xs):
+    return [x for x in xs if regex_match(regex_keys, x)]
+
+
+def _gather_matching(mapping, keys, min_rank: Optional[int] = None):
+    """Concatenates mapping[key] for the given keys along the channel axis,
+    optionally checking each entry has at least `min_rank` dims."""
+    parts = []
+    for key in keys:
+        if min_rank is not None:
+            assert mapping[key].ndim >= min_rank, (
+                f"{key}: expected rank >= {min_rank}, got "
+                f"{mapping[key].shape}"
+            )
+        parts.append(mapping[key])
+    return jnp.concatenate(parts, axis=-1)
+
+
 def generate_proper_pad_mask(
     tokens: jax.Array,
     pad_mask_dict: Optional[Dict[str, jax.Array]],
     keys: Sequence[str],
 ) -> jax.Array:
+    """Per-token validity from the batch's pad_mask_dict: a token row is
+    valid if ANY of its source keys is non-padding. Falls back to all-ones
+    (with a warning) when masks are unavailable."""
+    missing = (
+        None if pad_mask_dict is None
+        else [k for k in keys if k not in pad_mask_dict]
+    )
     if pad_mask_dict is None:
         logging.warning("No pad_mask_dict found. Nothing will be masked.")
         return jnp.ones(tokens.shape[:-1])
-    if not all(key in pad_mask_dict for key in keys):
+    if missing:
         logging.warning(
-            f"pad_mask_dict missing keys {set(keys) - set(pad_mask_dict.keys())}."
-            " Nothing will be masked."
+            f"pad_mask_dict missing keys {set(missing)}. "
+            "Nothing will be masked."
         )
         return jnp.ones(tokens.shape[:-1])
-    pad_mask = jnp.stack([pad_mask_dict[key] for key in keys], axis=-1)
-    pad_mask = jnp.any(pad_mask, axis=-1)
-    return jnp.broadcast_to(pad_mask[..., None], tokens.shape[:-1])
+    valid = jnp.any(
+        jnp.stack([pad_mask_dict[k] for k in keys], axis=-1), axis=-1
+    )
+    return jnp.broadcast_to(valid[..., None], tokens.shape[:-1])
 
 
 class TokenLearner(nn.Module):
-    """Maps a token sequence to a fixed number of learned tokens via MAP."""
+    """Compresses a token sequence to `num_tokens` learned readouts via MAP
+    attention pooling over position-embedded, normalized inputs."""
 
     num_tokens: int
 
     @nn.compact
     def __call__(self, inputs, train: bool = True):
-        pos_embed = self.param(
+        pos = self.param(
             "pos_embed",
             nn.initializers.normal(stddev=0.02),
-            (inputs.shape[-2], inputs.shape[-1]),
+            inputs.shape[-2:],
         )
-        x = inputs + jnp.broadcast_to(pos_embed, inputs.shape)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm()(inputs + jnp.broadcast_to(pos, inputs.shape))
         return MAPHead(num_readouts=self.num_tokens)(x, train=train)
 
 
-def regex_match(regex_keys, x):
-    return any(re.match(r_key, x) for r_key in regex_keys)
-
-
-def regex_filter(regex_keys, xs):
-    return list(filter(lambda x: regex_match(regex_keys, x), xs))
-
-
 class ImageTokenizer(nn.Module):
-    """Stacks matching image observation/task channels and runs a conv encoder."""
+    """Stacks matching image observation/task channels and runs a conv
+    encoder over each frame; optionally compresses with a TokenLearner."""
 
     encoder: ModuleSpec
-    use_token_learner: bool = False
-    num_tokens: int = 8
-    conditioning_type: str = "none"
     obs_stack_keys: Sequence[str] = ("image_.*", "depth_.*")
     task_stack_keys: Sequence[str] = tuple()
     task_film_keys: Sequence[str] = tuple()
+    use_token_learner: bool = False
+    num_tokens: int = 8
     proper_pad_mask: bool = True
+    conditioning_type: str = "none"
+
+    def _stack_task_channels(self, enc_inputs, observations, tasks):
+        """Appends goal-image channels (zero-padded when the task lacks
+        them), repeated across the window axis."""
+        for k in regex_filter(self.task_stack_keys, observations.keys()):
+            if k not in tasks:
+                logging.info(f"No task inputs matching {k}; zero-padding.")
+                tasks = flax.core.copy(
+                    tasks, {k: jnp.zeros_like(observations[k][:, 0])}
+                )
+        matched = regex_filter(self.task_stack_keys, sorted(tasks.keys()))
+        if not matched:
+            raise ValueError(
+                f"No task inputs matching {self.task_stack_keys} were found."
+            )
+        goal = _gather_matching(tasks, matched, min_rank=4)
+        goal = goal[:, None].repeat(enc_inputs.shape[1], axis=1)
+        return jnp.concatenate([enc_inputs, goal], axis=-1), tasks
 
     @nn.compact
     def __call__(self, observations, tasks=None, train: bool = True):
-        def extract_inputs(keys, inputs, check_spatial=False):
-            extracted = []
-            for key in keys:
-                if check_spatial:
-                    assert len(inputs[key].shape) >= 4
-                extracted.append(inputs[key])
-            return jnp.concatenate(extracted, axis=-1)
-
-        obs_stack_keys = regex_filter(self.obs_stack_keys, sorted(observations.keys()))
-        if len(obs_stack_keys) == 0:
+        matched_obs = regex_filter(
+            self.obs_stack_keys, sorted(observations.keys())
+        )
+        if not matched_obs:
             logging.info(
-                f"No image inputs matching {self.obs_stack_keys} found; skipping."
+                f"No image inputs matching {self.obs_stack_keys} found; "
+                "skipping."
             )
-            assert self.proper_pad_mask, "Cannot skip unless using proper_pad_mask."
+            assert self.proper_pad_mask, (
+                "Cannot skip unless using proper_pad_mask."
+            )
             return None
 
-        enc_inputs = extract_inputs(obs_stack_keys, observations, check_spatial=True)
+        enc_inputs = _gather_matching(observations, matched_obs, min_rank=4)
         if self.task_stack_keys:
-            needed_task_keys = regex_filter(self.task_stack_keys, observations.keys())
-            for k in needed_task_keys:
-                if k not in tasks:
-                    logging.info(f"No task inputs matching {k}; zero-padding.")
-                    tasks = flax.core.copy(
-                        tasks, {k: jnp.zeros_like(observations[k][:, 0])}
-                    )
-            task_stack_keys = regex_filter(self.task_stack_keys, sorted(tasks.keys()))
-            if len(task_stack_keys) == 0:
-                raise ValueError(
-                    f"No task inputs matching {self.task_stack_keys} were found."
-                )
-            task_inputs = extract_inputs(task_stack_keys, tasks, check_spatial=True)
-            task_inputs = task_inputs[:, None].repeat(enc_inputs.shape[1], axis=1)
-            enc_inputs = jnp.concatenate([enc_inputs, task_inputs], axis=-1)
-        b, t, h, w, c = enc_inputs.shape
-        enc_inputs = jnp.reshape(enc_inputs, (b * t, h, w, c))
-
-        encoder_input_kwargs = {}
-        if self.task_film_keys:
-            film_inputs = extract_inputs(self.task_film_keys, tasks)
-            film_inputs = film_inputs[:, None].repeat(t, axis=1)
-            encoder_input_kwargs.update(
-                {"cond_var": jnp.reshape(film_inputs, (b * t, -1))}
+            enc_inputs, tasks = self._stack_task_channels(
+                enc_inputs, observations, tasks
             )
 
-        encoder_def = ModuleSpec.instantiate(self.encoder)()
-        image_tokens = encoder_def(enc_inputs, **encoder_input_kwargs)
-        image_tokens = jnp.reshape(image_tokens, (b, t, -1, image_tokens.shape[-1]))
+        b, t = enc_inputs.shape[:2]
+        frames = enc_inputs.reshape(b * t, *enc_inputs.shape[2:])
 
+        encoder_kwargs = {}
+        if self.task_film_keys:
+            film = _gather_matching(tasks, self.task_film_keys)
+            encoder_kwargs["cond_var"] = (
+                film[:, None].repeat(t, axis=1).reshape(b * t, -1)
+            )
+
+        tokens = ModuleSpec.instantiate(self.encoder)()(
+            frames, **encoder_kwargs
+        )
+        tokens = tokens.reshape(b, t, -1, tokens.shape[-1])
         if self.use_token_learner:
-            image_tokens = TokenLearner(num_tokens=self.num_tokens)(
-                image_tokens, train=train
+            tokens = TokenLearner(num_tokens=self.num_tokens)(
+                tokens, train=train
             )
 
         if self.proper_pad_mask:
-            pad_mask = generate_proper_pad_mask(
-                image_tokens, observations.get("pad_mask_dict", None), obs_stack_keys
+            mask = generate_proper_pad_mask(
+                tokens, observations.get("pad_mask_dict", None), matched_obs
             )
         else:
-            pad_mask = jnp.ones(image_tokens.shape[:-1])
-        return TokenGroup(image_tokens, pad_mask)
+            mask = jnp.ones(tokens.shape[:-1])
+        return TokenGroup(tokens, mask)
 
 
 class LanguageTokenizer(nn.Module):
     """Embeds text input IDs into continuous language embeddings.
 
-    `encoder` names a text encoder config ("t5-base" etc.); the encoder module
-    is our native T5 implementation, registered under the submodule name
-    `hf_model` to keep the checkpoint layout of the reference.
+    `encoder` names a text encoder config ("t5-base" etc.); the encoder
+    module is our native T5 implementation, registered under the submodule
+    name `hf_model` to keep the reference's checkpoint layout.
     """
 
     encoder: str = None
-    finetune_encoder: bool = False
     proper_pad_mask: bool = True
+    finetune_encoder: bool = False
 
     def setup(self):
         if self.encoder is not None:
-            from hypervla_tpu.models.encoders.t5 import T5EncoderModel, t5_config
+            from hypervla_tpu.models.encoders.t5 import (
+                T5EncoderModel,
+                t5_config,
+            )
 
             self.hf_model = T5EncoderModel(config=t5_config(self.encoder))
 
     def __call__(self, observations, tasks=None, train: bool = True):
         if "language_instruction" not in tasks:
-            logging.warning("No language inputs found. Skipping tokenizer entirely.")
-            assert self.proper_pad_mask, "Cannot skip unless using proper pad mask."
+            logging.warning(
+                "No language inputs found. Skipping tokenizer entirely."
+            )
+            assert self.proper_pad_mask, (
+                "Cannot skip unless using proper pad mask."
+            )
             return None
 
-        if not isinstance(tasks["language_instruction"], (jax.Array, np.ndarray)):
-            assert (
-                self.encoder is not None
-            ), "Received language tokens but no encoder specified."
-            tokens = self.hf_model(
-                input_ids=tasks["language_instruction"]["input_ids"],
-                attention_mask=tasks["language_instruction"]["attention_mask"],
+        instruction = tasks["language_instruction"]
+        if isinstance(instruction, (jax.Array, np.ndarray)):
+            # precomputed embeddings; give single vectors a token axis
+            tokens = (
+                instruction[:, None, :] if instruction.ndim == 2
+                else instruction
             )
         else:
-            if tasks["language_instruction"].ndim == 2:
-                tokens = tasks["language_instruction"][:, None, :]
-            else:
-                tokens = tasks["language_instruction"]
+            assert self.encoder is not None, (
+                "Received language tokens but no encoder specified."
+            )
+            tokens = self.hf_model(
+                input_ids=instruction["input_ids"],
+                attention_mask=instruction["attention_mask"],
+            )
 
         if not self.finetune_encoder:
             tokens = jax.lax.stop_gradient(tokens)
 
         if self.proper_pad_mask:
-            pad_mask = generate_proper_pad_mask(
-                tokens, tasks.get("pad_mask_dict", None), ("language_instruction",)
+            mask = generate_proper_pad_mask(
+                tokens,
+                tasks.get("pad_mask_dict", None),
+                ("language_instruction",),
             )
         else:
-            pad_mask = jnp.ones(tokens.shape[:-1])
-        return TokenGroup(tokens, pad_mask)
+            mask = jnp.ones(tokens.shape[:-1])
+        return TokenGroup(tokens, mask)
 
 
 class BinTokenizer(nn.Module):
-    """Dimension-wise binning of continuous values into n_bins tokens."""
+    """Dimension-wise binning of continuous values into n_bins tokens;
+    "uniform" spaces bin edges linearly on [low, high], "normal" places
+    them at equal-probability-mass quantiles of a standard normal."""
 
-    n_bins: int = 256
     bin_type: str = "uniform"
-    low: float = -1
-    high: float = 1
+    n_bins: int = 256
+    low: float = -1.0
+    high: float = 1.0
 
     def setup(self):
         if self.bin_type == "uniform":
-            self.thresholds = jnp.linspace(self.low, self.high, self.n_bins + 1)
+            edges = jnp.linspace(self.low, self.high, self.n_bins + 1)
         elif self.bin_type == "normal":
-            self.thresholds = norm.ppf(jnp.linspace(EPS, 1 - EPS, self.n_bins + 1))
+            edges = norm.ppf(jnp.linspace(EPS, 1 - EPS, self.n_bins + 1))
         else:
             raise ValueError(f"Binning type {self.bin_type} not supported.")
+        self.thresholds = edges
 
     def __call__(self, inputs):
         if self.bin_type == "uniform":
             inputs = jnp.clip(inputs, self.low + EPS, self.high - EPS)
-        inputs = inputs[..., None]
-        token_one_hot = (inputs < self.thresholds[1:]) & (
-            inputs >= self.thresholds[:-1]
-        ).astype(jnp.uint8)
-        return jnp.argmax(token_one_hot, axis=-1)
+        # interior-edge searchsorted == the reference's one-hot interval
+        # test for all in-range values
+        token = jnp.searchsorted(
+            self.thresholds[1:-1], inputs, side="right"
+        )
+        return token.astype(jnp.int32)
 
     def decode(self, inputs):
-        one_hot = jax.nn.one_hot(inputs, self.n_bins)
-        bin_avgs = (self.thresholds[1:] + self.thresholds[:-1]) / 2
-        return jnp.sum(one_hot * bin_avgs, axis=-1)
+        centers = (self.thresholds[1:] + self.thresholds[:-1]) / 2
+        return centers[inputs]
 
 
 class LowdimObsTokenizer(BinTokenizer):
     """Tokenizer for non-spatial observations, optionally discretized."""
 
     obs_keys: Sequence[str] = tuple()
-    discretize: bool = False
     proper_pad_mask: bool = True
+    discretize: bool = False
 
     def __call__(self, observations, *unused_args, **unused_kwargs):
         assert self.obs_keys, "Need to specify observation keys to tokenize."
-        if len(regex_filter(self.obs_keys, sorted(observations.keys()))) == 0:
+        matched = []
+        for pattern in self.obs_keys:
+            matched += [
+                k for k in sorted(observations.keys())
+                if re.compile(pattern).match(k)
+            ]
+        if not matched:
             logging.warning(
-                f"No observation inputs matching {self.obs_keys} found; skipping."
+                f"No observation inputs matching {self.obs_keys} found; "
+                "skipping."
             )
-            assert self.proper_pad_mask, "Cannot skip unless using proper pad mask."
+            assert self.proper_pad_mask, (
+                "Cannot skip unless using proper pad mask."
+            )
             return None
-
-        tokenizer_inputs = []
-        for o_key in self.obs_keys:
-            for key in filter(re.compile(o_key).match, sorted(observations.keys())):
-                assert len(observations[key].shape) == 3, (
-                    f"Only non-spatial inputs supported; {key} has shape "
-                    f"{observations[key].shape}."
-                )
-                tokenizer_inputs.append(observations[key])
-        tokenizer_inputs = jnp.concatenate(tokenizer_inputs, axis=-1)
+        for key in matched:
+            assert observations[key].ndim == 3, (
+                f"Only non-spatial inputs supported; {key} has shape "
+                f"{observations[key].shape}."
+            )
+        values = _gather_matching(observations, matched)
         if self.discretize:
-            tokenized_inputs = super().__call__(tokenizer_inputs)
-            tokens = jax.nn.one_hot(tokenized_inputs, self.n_bins)
+            tokens = jax.nn.one_hot(super().__call__(values), self.n_bins)
         else:
-            tokens = tokenizer_inputs[..., None]
-        mask = jnp.ones(tokens.shape[:-1])
-        return TokenGroup(tokens, mask)
+            tokens = values[..., None]
+        return TokenGroup(tokens, jnp.ones(tokens.shape[:-1]))

@@ -1,53 +1,103 @@
-"""Patch encoders for ViTs (parity: octo/model/components/vit_encoders.py).
+"""Patch encoders for ViTs.
 
-PatchEncoder patchifies directly; SmallStem runs a light conv stack first
-(Xiao et al., "Early Convolutions Help Transformers See Better"); ViTResnet is
-the ResNet-v2 hybrid stem. All convs here map straight onto the TPU MXU: NHWC
-layout, static shapes, channel counts that XLA tiles to 128 lanes.
+Capability parity with octo/model/components/vit_encoders.py: PatchEncoder
+patchifies with one strided conv; SmallStem runs a light conv stack first
+(Xiao et al., "Early Convolutions Help Transformers See Better"); ViTResnet
+is the ResNet-v2 hybrid stem. All convs map straight onto the TPU MXU: NHWC
+layout, static shapes.
+
+Checkpoint compatibility note: module names that appear in parameter paths
+(StdConv_i, GroupNorm_i, embedding, conv1/gn1, ...) are pinned explicitly so
+generated-weight plans and reference-parity goldens keep loading; the
+implementations behind those names are this framework's own (e.g. StdConv is
+a direct lax.conv_general_dilated module that standardizes its kernel at use
+time, not a flax.nn.Conv subclass hooking the param store).
 """
 import functools as ft
-from typing import Callable, Sequence, TypeVar
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
 
 from hypervla_tpu.models.film import FilmConditioning
 
-T = TypeVar("T")
+# (mean, std) per RGB channel
+_IMAGENET_STATS = (
+    jnp.asarray([0.485, 0.456, 0.406]),
+    jnp.asarray([0.229, 0.224, 0.225]),
+)
 
 
-def normalize_images(img, img_norm_type="default"):
-    """Pixel normalization: "default" maps uint8 to [-1, 1]; "imagenet" applies
-    ImageNet mean/std (tiled over stacked early-fusion frames)."""
+def normalize_images(img, img_norm_type: str = "default"):
+    """"default": uint8 -> [-1, 1]. "imagenet": mean/std per channel, with
+    the stats repeated across stacked early-fusion frames (channel count a
+    multiple of 3)."""
     if img_norm_type == "default":
-        return img.astype(jnp.float32) / 127.5 - 1.0
-    elif img_norm_type == "imagenet":
-        img = img.astype(jnp.float32) / 255
-        assert img.shape[-1] % 3 == 0, "images should have rgb channels!"
-        mean = jnp.array([0.485, 0.456, 0.406]).reshape((1, 1, 1, 3))
-        std = jnp.array([0.229, 0.224, 0.225]).reshape((1, 1, 1, 3))
-        num_tile = (1, 1, 1, int(img.shape[-1] / 3))
-        return (img - jnp.tile(mean, num_tile)) / jnp.tile(std, num_tile)
+        return img.astype(jnp.float32) * (1.0 / 127.5) - 1.0
+    if img_norm_type == "imagenet":
+        frames = img.shape[-1] // 3
+        assert img.shape[-1] == 3 * frames, "images should have rgb channels!"
+        mean, std = (jnp.tile(s, frames) for s in _IMAGENET_STATS)
+        return (img.astype(jnp.float32) / 255 - mean) / std
     raise ValueError(f"unknown img_norm_type {img_norm_type}")
 
 
-def weight_standardize(w, axis, eps):
-    w = w - jnp.mean(w, axis=axis)
-    return w / (jnp.std(w, axis=axis) + eps)
+class StdConv(nn.Module):
+    """Weight-standardized NHWC convolution.
+
+    The kernel is re-centred/re-scaled over its (h, w, in) axes every
+    forward pass, then fed to one lax conv — the standardization fuses into
+    the conv's operand producer under XLA.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Union[str, int, Sequence] = "SAME"
+    use_bias: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+        )
+        kernel = kernel - kernel.mean(axis=(0, 1, 2))
+        kernel = kernel / (kernel.std(axis=(0, 1, 2)) + self.eps)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        y = lax.conv_general_dilated(
+            x, kernel,
+            window_strides=self.strides,
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            y = y + self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+        return y
 
 
-class StdConv(nn.Conv):
-    """Convolution with weight standardization applied at parameter read."""
-
-    def param(self, name: str, init_fn: Callable[..., T], *init_args) -> T:
-        param = super().param(name, init_fn, *init_args)
-        if name == "kernel":
-            param = weight_standardize(param, axis=[0, 1, 2], eps=1e-5)
-        return param
+def _patchify(x, num_features: int, patch_size: int):
+    """One strided VALID conv named `embedding` — the token projection every
+    encoder here ends with."""
+    return nn.Conv(
+        features=num_features,
+        kernel_size=(patch_size, patch_size),
+        strides=(patch_size, patch_size),
+        padding="VALID",
+        name="embedding",
+    )(x)
 
 
 class PatchEncoder(nn.Module):
-    """Single strided conv that splits the image into patch embeddings."""
+    """Bare patchifier: normalize -> one strided conv (-> optional FiLM)."""
 
     use_film: bool = False
     patch_size: int = 32
@@ -55,26 +105,25 @@ class PatchEncoder(nn.Module):
     img_norm_type: str = "default"
 
     @nn.compact
-    def __call__(self, observations: jnp.ndarray, train: bool = True, cond_var=None):
+    def __call__(self, observations, train: bool = True, cond_var=None):
         assert self.use_film == (cond_var is not None), (
             "pass cond_var iff use_film"
         )
-        x = normalize_images(observations, self.img_norm_type)
-        x = nn.Conv(
-            features=self.num_features,
-            kernel_size=(self.patch_size, self.patch_size),
-            strides=(self.patch_size, self.patch_size),
-            padding="VALID",
-            name="embedding",
-        )(x)
-        if self.use_film:
-            x = FilmConditioning()(x, cond_var)
-        return x
+        tokens = _patchify(
+            normalize_images(observations, self.img_norm_type),
+            self.num_features, self.patch_size,
+        )
+        if cond_var is not None:
+            tokens = FilmConditioning()(tokens, cond_var)
+        return tokens
 
 
 class SmallStem(nn.Module):
-    """Small conv stem then patchify. `learnable_norm=False` strips GroupNorm
-    scale/bias so the hypernet doesn't have to generate them."""
+    """Conv stack (StdConv+GroupNorm+relu per stage) then patchify.
+
+    `learnable_norm=False` strips the GroupNorm scale/bias so a hypernet
+    generating these weights has fewer blocks to emit.
+    """
 
     use_film: bool = False
     patch_size: int = 32
@@ -86,76 +135,73 @@ class SmallStem(nn.Module):
     img_norm_type: str = "default"
     learnable_norm: bool = True
 
+    def _stages(self):
+        return zip(self.kernel_sizes, self.strides, self.features,
+                   self.padding)
+
     @nn.compact
-    def __call__(self, observations: jnp.ndarray, train: bool = True, cond_var=None):
+    def __call__(self, observations, train: bool = True, cond_var=None):
         assert self.use_film == (cond_var is not None), (
             "pass cond_var iff use_film"
         )
         x = normalize_images(observations, self.img_norm_type)
-        for kernel_size, stride, features, padding in zip(
-            self.kernel_sizes, self.strides, self.features, self.padding
-        ):
+        for i, (k, s, f, p) in enumerate(self._stages()):
             x = StdConv(
-                features=features,
-                kernel_size=(kernel_size, kernel_size),
-                strides=(stride, stride),
-                padding=padding,
+                features=f, kernel_size=(k, k), strides=(s, s), padding=p,
+                name=f"StdConv_{i}",
             )(x)
             x = nn.GroupNorm(
-                use_scale=self.learnable_norm, use_bias=self.learnable_norm
+                use_scale=self.learnable_norm,
+                use_bias=self.learnable_norm,
+                name=f"GroupNorm_{i}",
             )(x)
             x = nn.relu(x)
-        x = nn.Conv(
-            features=self.num_features,
-            kernel_size=(self.patch_size // 16, self.patch_size // 16),
-            strides=(self.patch_size // 16, self.patch_size // 16),
-            padding="VALID",
-            name="embedding",
-        )(x)
-        if self.use_film:
+        # the stem downsamples 16x; the patchifier covers the rest
+        x = _patchify(x, self.num_features, self.patch_size // 16)
+        if cond_var is not None:
             x = FilmConditioning()(x, cond_var)
         return x
 
 
 class ResidualUnit(nn.Module):
-    """Bottleneck ResNet-v2 block."""
+    """ResNet-v2 bottleneck: 1x1 -> 3x3(stride) -> 1x1(4f), GroupNorm after
+    each conv, zero-init on the last norm's scale, projected shortcut when
+    shape changes."""
 
     features: int
     strides: Sequence[int] = (1, 1)
 
     @nn.compact
     def __call__(self, x):
-        needs_projection = x.shape[-1] != self.features * 4 or self.strides != (1, 1)
-        residual = x
-        if needs_projection:
-            residual = StdConv(
-                features=self.features * 4,
-                kernel_size=(1, 1),
-                strides=self.strides,
-                use_bias=False,
-                name="conv_proj",
-            )(residual)
-            residual = nn.GroupNorm(name="gn_proj")(residual)
-        y = StdConv(
-            features=self.features, kernel_size=(1, 1), use_bias=False, name="conv1"
-        )(x)
-        y = nn.GroupNorm(name="gn1")(y)
-        y = nn.relu(y)
-        y = StdConv(
-            features=self.features,
-            kernel_size=(3, 3),
-            strides=self.strides,
-            use_bias=False,
-            name="conv2",
-        )(y)
-        y = nn.GroupNorm(name="gn2")(y)
-        y = nn.relu(y)
-        y = StdConv(
-            features=self.features * 4, kernel_size=(1, 1), use_bias=False,
-            name="conv3",
-        )(y)
-        y = nn.GroupNorm(name="gn3", scale_init=nn.initializers.zeros)(y)
-        return nn.relu(residual + y)
+        f = self.features
+        shortcut = x
+        if self.strides != (1, 1) or x.shape[-1] != 4 * f:
+            shortcut = StdConv(
+                features=4 * f, kernel_size=(1, 1), strides=self.strides,
+                use_bias=False, name="conv_proj",
+            )(x)
+            shortcut = nn.GroupNorm(name="gn_proj")(shortcut)
+
+        trunk_spec = [
+            dict(features=f, kernel_size=(1, 1), strides=(1, 1), tag="1"),
+            dict(features=f, kernel_size=(3, 3), strides=self.strides,
+                 tag="2"),
+            dict(features=4 * f, kernel_size=(1, 1), strides=(1, 1),
+                 tag="3"),
+        ]
+        y = x
+        for spec in trunk_spec:
+            tag = spec.pop("tag")
+            last = tag == "3"
+            y = StdConv(use_bias=False, name=f"conv{tag}", **spec)(y)
+            y = nn.GroupNorm(
+                name=f"gn{tag}",
+                scale_init=nn.initializers.zeros
+                if last else nn.initializers.ones,
+            )(y)
+            if not last:
+                y = nn.relu(y)
+        return nn.relu(shortcut + y)
 
 
 class ResNetStage(nn.Module):
@@ -165,9 +211,12 @@ class ResNetStage(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = ResidualUnit(self.nout, strides=self.first_stride, name="unit1")(x)
-        for i in range(1, self.block_size):
-            x = ResidualUnit(self.nout, strides=(1, 1), name=f"unit{i + 1}")(x)
+        for i in range(self.block_size):
+            x = ResidualUnit(
+                self.nout,
+                strides=self.first_stride if i == 0 else (1, 1),
+                name=f"unit{i + 1}",
+            )(x)
         return x
 
 
@@ -180,39 +229,29 @@ class ViTResnet(nn.Module):
     img_norm_type: str = "default"
 
     @nn.compact
-    def __call__(self, observations: jnp.ndarray, train: bool = True, cond_var=None):
+    def __call__(self, observations, train: bool = True, cond_var=None):
         assert self.use_film == (cond_var is not None), (
             "pass cond_var iff use_film"
         )
-        x = normalize_images(observations, self.img_norm_type)
         width = int(64 * self.width)
+        x = normalize_images(observations, self.img_norm_type)
         x = StdConv(
-            features=width,
-            kernel_size=(7, 7),
-            strides=(2, 2),
-            use_bias=False,
-            name="conv_root",
+            features=width, kernel_size=(7, 7), strides=(2, 2),
+            use_bias=False, name="conv_root",
         )(x)
-        x = nn.GroupNorm(name="gn_root")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2), padding="SAME")
-        if self.num_layers:
+        x = nn.relu(nn.GroupNorm(name="gn_root")(x))
+        x = nn.max_pool(x, window_shape=(3, 3), strides=(2, 2),
+                        padding="SAME")
+        for i, block_size in enumerate(self.num_layers):
             x = ResNetStage(
-                block_size=self.num_layers[0],
-                nout=width,
-                first_stride=(1, 1),
-                name="block1",
+                block_size=block_size,
+                nout=width * 2**i,
+                first_stride=(1, 1) if i == 0 else (2, 2),
+                name=f"block{i + 1}",
             )(x)
-            for i, block_size in enumerate(self.num_layers[1:], 1):
-                x = ResNetStage(
-                    block_size=block_size,
-                    nout=width * 2**i,
-                    first_stride=(2, 2),
-                    name=f"block{i + 1}",
-                )(x)
-                if self.use_film:
-                    x = FilmConditioning()(x, cond_var)
-        elif self.use_film:
+            if self.use_film and i > 0:
+                x = FilmConditioning()(x, cond_var)
+        if self.use_film and not self.num_layers:
             x = FilmConditioning()(x, cond_var)
         return x
 
@@ -230,21 +269,33 @@ class ResNet26FILM(ViTResnet):
     num_layers: tuple = (2, 2, 2, 2)
 
 
-vit_encoder_configs = {
-    "patchify-32-film": ft.partial(PatchEncoder, use_film=True, patch_size=32),
-    "patchify-16-film": ft.partial(PatchEncoder, use_film=True, patch_size=16),
-    "small-stem-8-film": ft.partial(
+def _build_encoder_registry():
+    """Named encoder variants (same keys as the reference registry,
+    octo/model/components/vit_encoders.py:282)."""
+    registry = {}
+    for ps in (16, 32):
+        registry[f"patchify-{ps}-film"] = ft.partial(
+            PatchEncoder, use_film=True, patch_size=ps
+        )
+        registry[f"small-stem-{ps}-film"] = ft.partial(
+            SmallStem, use_film=True, patch_size=ps
+        )
+    registry["small-stem-16"] = ft.partial(SmallStem, patch_size=16)
+    # 3-stage stem: downsamples 8x before the patchifier
+    registry["small-stem-8-film"] = ft.partial(
         SmallStem,
         use_film=True,
         patch_size=16,
-        kernel_sizes=(3, 3, 3),
-        strides=(2, 2, 2),
+        kernel_sizes=(3,) * 3,
+        strides=(2,) * 3,
         features=(32, 96, 192),
-        padding=(1, 1, 1),
-    ),
-    "small-stem-16": ft.partial(SmallStem, patch_size=16),
-    "small-stem-16-film": ft.partial(SmallStem, use_film=True, patch_size=16),
-    "small-stem-32-film": ft.partial(SmallStem, use_film=True, patch_size=32),
-    "resnetv2-26-film": ft.partial(ViTResnet, use_film=True, num_layers=(2, 2, 2, 2)),
-    "resnetv2-50-film": ft.partial(ViTResnet, use_film=True, num_layers=(3, 4, 6, 3)),
-}
+        padding=(1,) * 3,
+    )
+    for depth, layers in ((26, (2, 2, 2, 2)), (50, (3, 4, 6, 3))):
+        registry[f"resnetv2-{depth}-film"] = ft.partial(
+            ViTResnet, use_film=True, num_layers=layers
+        )
+    return registry
+
+
+vit_encoder_configs = _build_encoder_registry()
