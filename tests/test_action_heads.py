@@ -16,6 +16,8 @@ from hypervla_tpu.models.action_heads import (
 )
 from hypervla_tpu.models.token_group import TokenGroup
 
+pytestmark = pytest.mark.slow
+
 
 def _outputs(batch=2, window=1, tokens=1, dim=16, key=0):
     emb = jax.random.normal(jax.random.PRNGKey(key), (batch, window, tokens, dim))

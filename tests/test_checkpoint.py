@@ -9,6 +9,9 @@ from hypervla_tpu.configs import tiny_test_config
 from hypervla_tpu.models.hypervla import HyperVLA
 
 from helpers import make_example_batch
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_save_load_roundtrip(tmp_path):

@@ -5,6 +5,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from hypervla_tpu.ops.flash_attention import flash_attention, mha_flash
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _reference(q, k, v):

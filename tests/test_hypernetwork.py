@@ -11,6 +11,8 @@ from hypervla_tpu.models.weight_plan import InitOptions, init_base_net
 
 from helpers import make_example_batch
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def smallstem_setup():

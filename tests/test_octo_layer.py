@@ -12,6 +12,8 @@ from hypervla_tpu.models.block_transformer import (
     TimestepGroup,
 )
 
+pytestmark = pytest.mark.slow
+
 TRANSFORMER_KWARGS = dict(
     num_layers=1, mlp_dim=32, num_attention_heads=2,
     dropout_rate=0.0, attention_dropout_rate=0.0,

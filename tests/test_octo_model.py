@@ -7,6 +7,8 @@ import pytest
 from hypervla_tpu.data.text_processing import FallbackTokenizer
 from hypervla_tpu.models.octo_model import OctoModel
 
+pytestmark = pytest.mark.slow
+
 
 class _TinyTextProcessor:
     def __init__(self):

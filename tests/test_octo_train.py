@@ -10,6 +10,8 @@ import pytest
 from hypervla_tpu.data.sources import NpzTrajectorySource
 from hypervla_tpu.utils.spec import ModuleSpec
 
+pytestmark = pytest.mark.slow
+
 
 def _encode_jpeg(arr):
     from PIL import Image

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from hypervla_tpu.parallel.mesh import (
     batch_sharding,
@@ -11,6 +12,8 @@ from hypervla_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_create_mesh_shapes():

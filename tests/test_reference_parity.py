@@ -18,6 +18,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = os.path.join(
     os.path.dirname(__file__), "goldens", "reference_parity"
 )

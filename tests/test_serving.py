@@ -11,6 +11,8 @@ from hypervla_tpu.ops.serving import make_serving_step
 
 from helpers import make_example_batch
 
+pytestmark = pytest.mark.slow
+
 
 def test_serving_step_matches_host_pipeline():
     config = tiny_test_config(encoder_type="SmallStem")

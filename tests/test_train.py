@@ -18,6 +18,8 @@ from hypervla_tpu.train.train_step import make_train_step
 
 from helpers import make_example_batch
 
+pytestmark = pytest.mark.slow
+
 
 def test_lr_schedules():
     rsqrt = create_lr_schedule(

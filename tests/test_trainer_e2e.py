@@ -10,6 +10,8 @@ import pytest
 from hypervla_tpu.configs import tiny_test_config
 from hypervla_tpu.data.sources import NpzTrajectorySource
 
+pytestmark = pytest.mark.e2e
+
 
 def _encode_jpeg(arr):
     from PIL import Image
