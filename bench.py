@@ -7,8 +7,10 @@ emitted the episode's weights.
 
 Serving optimizations exercised here:
   * bfloat16 compute in the DINOv2 trunk (params stay fp32);
-  * fused Pallas flash attention in the trunk; no attention-map capture;
-  * best-of-trials timing to reject multi-tenant chip noise.
+  * no attention-map capture (and no flash attention: measured slower at
+    bs=1 — see PERF.md);
+  * percentile reporting across timing windows: the headline is the MEDIAN
+    (p50) window on this multi-tenant chip; best and p90 ride in aux.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "actions/s", "vs_baseline": N}
@@ -69,17 +71,21 @@ def main():
     action = step(base_params, images, token_embedding, pad_mask, rng)
     jax.block_until_ready(action)
 
-    # best-of-trials to reject multi-tenant noise on the shared chip; trials
-    # are spread over ~20s because contention comes in multi-second windows
-    n_iters, n_trials = 200, 8
-    best = float("inf")
+    # timing windows spread over ~20s: multi-tenant contention comes in
+    # multi-second bursts, so percentiles over windows describe what a user
+    # actually gets (VERDICT round-1: report p50/p90, not best-of)
+    n_iters, n_trials = 200, 10
+    window_s = []
     for _ in range(n_trials):
         t0 = time.perf_counter()
         for _ in range(n_iters):
             action = step(base_params, images, token_embedding, pad_mask, rng)
         jax.block_until_ready(action)
-        best = min(best, (time.perf_counter() - t0) / n_iters)
+        window_s.append((time.perf_counter() - t0) / n_iters)
         time.sleep(2.0)
+    best = min(window_s)
+    p50 = float(np.percentile(window_s, 50))
+    p90 = float(np.percentile(window_s, 90))
 
     # device-true time via a short profiler capture (read with the in-repo
     # TensorBoard-free xplane parser) — separates the program's cost from
@@ -110,15 +116,19 @@ def main():
     except Exception:
         pass
 
-    actions_per_sec = 1.0 / best
+    actions_per_sec = 1.0 / p50
     result = {
-        "metric": "closed-loop actions/sec/chip (generated base-net step, "
-        "DINOv2-base bf16 + vit 4L/64d + mix head, bs=1)",
+        "metric": "closed-loop actions/sec/chip p50 (generated base-net "
+        "step, DINOv2-base bf16 + vit 4L/64d + mix head, bs=1)",
         "value": round(actions_per_sec, 2),
         "unit": "actions/s",
         "vs_baseline": round(actions_per_sec / 1000.0, 4),
         "aux": {
-            "per_step_ms": round(1000.0 * best, 3),
+            "per_step_ms_p50": round(1000.0 * p50, 3),
+            "per_step_ms_p90": round(1000.0 * p90, 3),
+            "actions_per_sec_p90": round(1.0 / p90, 2),
+            "actions_per_sec_best": round(1.0 / best, 2),
+            "per_step_ms_best": round(1000.0 * best, 3),
             "device_ms_per_step": (
                 round(device_ms, 3) if device_ms is not None else None
             ),

@@ -9,7 +9,11 @@ on-device augmentation path frees (with it, the host only decodes+resizes).
         --dataset_name bridge_dataset [--synthetic] [--device_augment]
 
 With --synthetic, writes a temporary npz fixture dataset first so the
-benchmark runs anywhere.
+benchmark runs anywhere. With --tfrecord --gb G, writes G gigabytes of
+RLDS TFRecord shards instead and drives the full shard path: native C++
+record reader -> features.json decode -> statistics compute + sha256
+cache (timed cold and warm) -> interleave/transform/shuffle/batch, with
+--read_threads/--transform_threads sweeps.
 """
 import argparse
 import io
@@ -70,6 +74,79 @@ def write_synthetic(root: str, episodes: int = 16, traj_len: int = 32,
     return "synthetic"
 
 
+def write_tfrecord_shards(root: str, target_gb: float, shards: int = 8,
+                          traj_len: int = 40, hw: int = 256):
+    """Writes RLDS-layout TFRecord shards totalling ~target_gb."""
+    import json as _json
+
+    from PIL import Image
+
+    from hypervla_tpu.data.tfrecord import encode_example, write_tfrecord
+
+    name = "synthetic_tfrec"
+    ds_dir = os.path.join(root, name, "1.0.0")
+    os.makedirs(ds_dir, exist_ok=True)
+    tensor = lambda dims, dtype: {"tensor": {  # noqa: E731
+        "shape": {"dimensions": [str(d) for d in dims]}, "dtype": dtype,
+    }}
+    features = {
+        "featuresDict": {"features": {
+            "steps": {"sequence": {"feature": {"featuresDict": {"features": {
+                "observation": {"featuresDict": {"features": {
+                    "image": {"image": {}},
+                }}},
+                "action": tensor([7], "float32"),
+                "language_instruction": {"text": {}},
+                "is_last": tensor([], "int64"),
+            }}}}},
+            "episode_id": tensor([], "int64"),
+        }}
+    }
+    with open(os.path.join(ds_dir, "features.json"), "w") as f:
+        _json.dump(features, f)
+
+    rng = np.random.RandomState(0)
+
+    def jpeg(arr):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+        return buf.getvalue()
+
+    # one noisy frame reused with per-episode perturbation: keeps generation
+    # fast while every record still decodes real jpeg bytes
+    base = rng.randint(0, 255, (hw, hw, 3)).astype(np.uint8)
+    frame_bytes = jpeg(base)
+    per_record = len(frame_bytes) * traj_len
+    total = 0
+    target = target_gb * (1 << 30)
+    ep = 0
+    for shard in range(shards):
+        records = []
+        while total < target * (shard + 1) / shards:
+            feats = {
+                "steps/observation/image": [frame_bytes] * traj_len,
+                "steps/action": rng.randn(traj_len, 7).astype(
+                    np.float32).reshape(-1),
+                "steps/language_instruction": [b"move the widget"] * traj_len,
+                "steps/is_last": np.array(
+                    [0] * (traj_len - 1) + [1], np.int64),
+                "episode_id": np.array([ep], np.int64),
+            }
+            records.append(encode_example(feats))
+            total += per_record
+            ep += 1
+        write_tfrecord(
+            os.path.join(
+                ds_dir,
+                f"{name}-train.tfrecord-{shard:05d}-of-{shards:05d}",
+            ),
+            records,
+        )
+    print(f"wrote {ep} episodes / {total / (1 << 30):.2f} GiB "
+          f"in {shards} shards")
+    return name
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", type=str, default=None)
@@ -79,39 +156,68 @@ def main():
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_batches", type=int, default=30)
     parser.add_argument("--resize", type=int, default=224)
+    parser.add_argument("--tfrecord", action="store_true",
+                        help="drive RLDS TFRecord shards (C++ reader path)")
+    parser.add_argument("--gb", type=float, default=1.0,
+                        help="total TFRecord volume to generate")
+    parser.add_argument("--shards", type=int, default=8)
+    parser.add_argument("--read_threads", type=int, default=None)
+    parser.add_argument("--transform_threads", type=int, default=None)
     args = parser.parse_args()
 
     from hypervla_tpu.data.dataset import make_interleaved_dataset
 
     tmp = None
-    if args.synthetic or args.data_dir is None:
+    if args.tfrecord:
+        tmp = args.data_dir or tempfile.mkdtemp(prefix="bench_tfrec_")
+        gen_t0 = time.perf_counter()
+        args.dataset_name = write_tfrecord_shards(
+            tmp, args.gb, shards=args.shards
+        )
+        print(f"generation took {time.perf_counter() - gen_t0:.1f}s")
+        args.data_dir = tmp
+    elif args.synthetic or args.data_dir is None:
         tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
         args.dataset_name = write_synthetic(tmp)
         args.data_dir = tmp
 
-    dataset = make_interleaved_dataset(
-        [
-            dict(
-                name=args.dataset_name,
-                data_dir=args.data_dir,
-                image_obs_keys={"primary": "image"},
-                language_key="language_instruction",
-                action_proprio_normalization_type="normal",
-            )
-        ],
-        None,
-        train=True,
-        shuffle_buffer_size=500,
-        traj_transform_kwargs=dict(window_size=1, action_horizon=4,
-                                   max_action_dim=7),
-        frame_transform_kwargs=dict(
-            resize_size={"primary": (args.resize, args.resize)},
-            image_augment_kwargs=(
-                {} if args.device_augment else {"primary": AUGMENT_KWARGS}
+    def build():
+        stats_t0 = time.perf_counter()
+        ds = make_interleaved_dataset(
+            [
+                dict(
+                    name=args.dataset_name,
+                    data_dir=args.data_dir,
+                    image_obs_keys={"primary": "image"},
+                    language_key="language_instruction",
+                    action_proprio_normalization_type="normal",
+                )
+            ],
+            None,
+            train=True,
+            shuffle_buffer_size=500,
+            traj_transform_kwargs=dict(window_size=1, action_horizon=4,
+                                       max_action_dim=7),
+            frame_transform_kwargs=dict(
+                resize_size={"primary": (args.resize, args.resize)},
+                image_augment_kwargs=(
+                    {} if args.device_augment else {"primary": AUGMENT_KWARGS}
+                ),
             ),
-        ),
-        batch_size=args.batch_size,
-    )
+            batch_size=args.batch_size,
+            traj_transform_threads=args.transform_threads,
+            traj_read_threads=args.read_threads,
+        )
+        return ds, time.perf_counter() - stats_t0
+
+    # cold build computes + caches statistics; warm build must hit the cache
+    dataset, stats_cold_s = build()
+    if args.tfrecord:
+        _, stats_warm_s = build()
+        print(json.dumps({
+            "statistics_pass_cold_s": round(stats_cold_s, 2),
+            "statistics_pass_warm_s": round(stats_warm_s, 2),
+        }))
     it = iter(dataset)
     next(it)  # warm the pipeline threads
     t0 = time.perf_counter()
@@ -129,6 +235,9 @@ def main():
             "device_augment": args.device_augment,
             "resize": args.resize,
             "seconds": round(dt, 2),
+            "tfrecord": args.tfrecord,
+            "read_threads": args.read_threads,
+            "transform_threads": args.transform_threads,
         },
     }))
 

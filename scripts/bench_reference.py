@@ -60,7 +60,8 @@ def main():
     from scripts import reference_shims
 
     if args.tiny:
-        reference_shims.install(dino_hidden=32, dino_layers=2, dino_heads=2)
+        reference_shims.install(dino_hidden=32, dino_layers=2, dino_heads=2,
+                                dino_image_size=224)
     else:
         reference_shims.install()
 

@@ -14,7 +14,8 @@ import types
 import numpy as np
 
 
-def install(dino_hidden=768, dino_layers=12, dino_heads=12):
+def install(dino_hidden=768, dino_layers=12, dino_heads=12,
+            dino_image_size=518):
     """Installs all shims. Call BEFORE importing anything from /root/reference.
 
     dino_* default to the real facebook/dinov2-base architecture
@@ -66,13 +67,15 @@ def install(dino_hidden=768, dino_layers=12, dino_heads=12):
     # ---- HuggingFace: zero-egress construction at the pinned configs ----
     import transformers
 
+    # the REAL facebook/dinov2-base was trained at 518x518 (position table
+    # of 1369 patches + cls, interpolated at runtime for other resolutions)
     dino_config = transformers.Dinov2Config(
         hidden_size=dino_hidden,
         num_hidden_layers=dino_layers,
         num_attention_heads=dino_heads,
         mlp_ratio=4,
         patch_size=14,
-        image_size=224,
+        image_size=dino_image_size,
         layerscale_value=1.0,
     )
     transformers.FlaxDinov2Model.from_pretrained = classmethod(

@@ -113,3 +113,42 @@ def test_tp_train_step_runs():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_train_step_fsdp4_tp2():
+    """The fully-sharded variant: data=1 x fsdp=4 x model=2 over 8 devices
+    (every param/optimizer shard split four ways, fan-out kernels split
+    across "model"). Complements dryrun_multichip's dp-heavy default."""
+    from hypervla_tpu.flagship import build_flagship, make_flagship_batch
+    from hypervla_tpu.parallel.mesh import fsdp_sharding
+    from hypervla_tpu.train.optimizer import (
+        create_optimizer,
+        hn_param_type_tree,
+    )
+    from hypervla_tpu.train.train_state import TrainState
+    from hypervla_tpu.train.train_step import make_train_step
+
+    model, _ = build_flagship(tiny=True)
+    batch = make_flagship_batch(
+        batch_size=8, instr_len=8, action_horizon=2, initial_patch_dim=32
+    )
+    config = model.config
+    tx, lr_fn, base_lr_fn, pnorm_fn = create_optimizer(
+        model.params, hn_param_type_tree(model.params),
+        **config["optimizer"],
+    )
+    state = TrainState.create(
+        jax.random.PRNGKey(0), model.params, tx, track_ema=True
+    )
+    mesh = create_mesh(fsdp=4, tp=2)
+    state = jax.tree_util.tree_map(
+        jax.device_put, state, fsdp_sharding(mesh, state)
+    )
+    step_fn = make_train_step(
+        model, config, tx, lr_fn, base_lr_fn, pnorm_fn, mesh=mesh,
+        donate=False,
+    )
+    state, info = step_fn(state, shard_batch(batch, mesh))
+    loss = float(info["training_loss"])
+    assert np.isfinite(loss)
+    assert int(state.step) == 1
