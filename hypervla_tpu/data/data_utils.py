@@ -97,9 +97,20 @@ def get_dataset_statistics(
                 return json.load(f)
 
     logging.info("Computing dataset statistics (cached for future runs).")
+
+    def field_summary(stack):
+        values = np.concatenate(stack)
+        return {
+            "mean": values.mean(0).tolist(),
+            "std": values.std(0).tolist(),
+            "max": values.max(0).tolist(),
+            "min": values.min(0).tolist(),
+            "p99": np.quantile(values, 0.99, 0).tolist(),
+            "p01": np.quantile(values, 0.01, 0).tolist(),
+        }
+
     actions, proprios = [], []
-    num_transitions = 0
-    num_trajectories = 0
+    num_transitions = num_trajectories = 0
     for traj in traj_iterator:
         actions.append(np.asarray(traj["action"]))
         obs = traj.get("observation", {})
@@ -109,29 +120,13 @@ def get_dataset_statistics(
             proprios.append(np.asarray(traj["proprio"]))
         num_transitions += traj["action"].shape[0]
         num_trajectories += 1
-    actions = np.concatenate(actions)
     metadata = {
-        "action": {
-            "mean": actions.mean(0).tolist(),
-            "std": actions.std(0).tolist(),
-            "max": actions.max(0).tolist(),
-            "min": actions.min(0).tolist(),
-            "p99": np.quantile(actions, 0.99, 0).tolist(),
-            "p01": np.quantile(actions, 0.01, 0).tolist(),
-        },
+        "action": field_summary(actions),
         "num_transitions": num_transitions,
         "num_trajectories": num_trajectories,
     }
     if proprios:
-        proprios = np.concatenate(proprios)
-        metadata["proprio"] = {
-            "mean": proprios.mean(0).tolist(),
-            "std": proprios.std(0).tolist(),
-            "max": proprios.max(0).tolist(),
-            "min": proprios.min(0).tolist(),
-            "p99": np.quantile(proprios, 0.99, 0).tolist(),
-            "p01": np.quantile(proprios, 0.01, 0).tolist(),
-        }
+        metadata["proprio"] = field_summary(proprios)
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
@@ -145,44 +140,34 @@ def get_dataset_statistics(
 
 
 def combine_dataset_statistics(all_dataset_statistics: Sequence[dict]) -> dict:
-    """Merges statistics across datasets (transition-weighted)."""
-    merge_stat_keys = ["action", "proprio"]
-    num_trajectories = [s["num_trajectories"] for s in all_dataset_statistics]
-    num_transitions = [s["num_transitions"] for s in all_dataset_statistics]
-    stat_weights = [t / sum(num_transitions) for t in num_transitions]
+    """Merges statistics across datasets (transition-weighted pooled
+    mean/variance, elementwise min/max)."""
+    stats = all_dataset_statistics
+    counts = np.array([s["num_transitions"] for s in stats])
+    total = counts.sum()
 
-    combined = {}
-    for key in merge_stat_keys:
-        if not all(key in s for s in all_dataset_statistics):
-            continue
-        combined_mean = np.array(
-            [
-                np.array(s[key]["mean"]) * w
-                for s, w in zip(all_dataset_statistics, stat_weights)
-            ]
-        ).sum(0)
-        combined_std = np.sqrt(
-            np.array(
-                [
-                    n * np.array(s[key]["std"]) ** 2
-                    + n * (np.array(s[key]["mean"]) - combined_mean) ** 2
-                    for s, n in zip(all_dataset_statistics, num_transitions)
-                ]
-            ).sum(0)
-            / sum(num_transitions)
-        )
-        combined[key] = {
-            "min": np.array(
-                [s[key]["min"] for s in all_dataset_statistics]
-            ).min(0).tolist(),
-            "max": np.array(
-                [s[key]["max"] for s in all_dataset_statistics]
-            ).max(0).tolist(),
-            "mean": combined_mean.tolist(),
-            "std": combined_std.tolist(),
+    def pooled(key):
+        means = np.array([s[key]["mean"] for s in stats])
+        stds = np.array([s[key]["std"] for s in stats])
+        mean = (means * (counts / total)[:, None]).sum(0)
+        # law of total variance over the dataset partition
+        var = (
+            counts[:, None] * (stds**2 + (means - mean) ** 2)
+        ).sum(0) / total
+        return {
+            "min": np.array([s[key]["min"] for s in stats]).min(0).tolist(),
+            "max": np.array([s[key]["max"] for s in stats]).max(0).tolist(),
+            "mean": mean.tolist(),
+            "std": np.sqrt(var).tolist(),
         }
-    combined["num_trajectories"] = num_trajectories
-    combined["num_transitions"] = num_transitions
+
+    combined = {
+        key: pooled(key)
+        for key in ("action", "proprio")
+        if all(key in s for s in stats)
+    }
+    combined["num_trajectories"] = [s["num_trajectories"] for s in stats]
+    combined["num_transitions"] = counts.tolist()
     return combined
 
 
@@ -282,12 +267,13 @@ def rel2abs_gripper_actions(actions: np.ndarray) -> np.ndarray:
     else:
         start = 1
 
-    new_actions = np.empty(n, dtype=np.int64)
-    carry = start
-    for i in range(n):
-        if thresholded[i] != 0:
-            carry = thresholded[i]
-        new_actions[i] = carry
+    # forward-fill the last nonzero threshold (vectorized carry)
+    filled_idx = np.maximum.accumulate(
+        np.where(thresholded != 0, np.arange(n), -1)
+    )
+    new_actions = np.where(
+        filled_idx >= 0, thresholded[np.maximum(filled_idx, 0)], start
+    )
     return new_actions.astype(np.float32) / 2 + 0.5
 
 
@@ -318,17 +304,18 @@ def allocate_threads(n: Optional[int], weights: np.ndarray):
     weights = np.array(weights) / np.sum(weights)
 
     allocation = np.zeros_like(weights, dtype=int)
+    # datasets too small for one proportional thread get exactly one, and
+    # the remainder is re-split among the rest until stable
     while True:
-        mask = (weights * n < 1) & (weights > 0)
-        if not mask.any():
+        starved = (weights * n < 1) & (weights > 0)
+        if not starved.any():
             break
-        n -= mask.sum()
-        allocation += mask.astype(int)
-        weights[mask] = 0
+        allocation += starved.astype(int)
+        n -= starved.sum()
+        weights = np.where(starved, 0, weights)
         weights = weights / weights.sum()
     fractional, integral = np.modf(weights * n)
     allocation += integral.astype(int)
-    n -= integral.sum()
-    for i in np.argsort(fractional)[::-1][: int(n)]:
-        allocation[i] += 1
+    leftover = int(n - integral.sum())
+    allocation[np.argsort(fractional)[::-1][:leftover]] += 1
     return allocation

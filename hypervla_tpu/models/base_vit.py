@@ -1,14 +1,17 @@
-"""The tiny generated policy ViT (parity: hypervla/components/base_vit.py:55-227).
+"""The tiny generated policy ViT.
 
-Flow: encode image to patch embeddings (SmallStem / PatchEncoder / DINOv2 /
-CLIP / SigLIP-precomputed / EfficientNet) -> project to hidden_dim -> append
-zero action tokens -> learned positional embedding -> tiny transformer with a
-hand-built attention mask (language tokens self-attend only; nothing attends
-to action tokens) -> return the last `action_token_num` embeddings.
+Capability parity with hypervla/components/base_vit.py:55-227. Flow: encode
+the frame to patch embeddings (SmallStem / PatchEncoder / DINOv2 / CLIP /
+SigLIP-precomputed / EfficientNet) -> project to hidden_dim -> append zero
+action tokens -> learned positional embedding -> tiny transformer under a
+hand-built attention mask (language tokens self-attend only; nothing
+attends to action tokens) -> return the last `action_token_num` embeddings.
 
 This is the per-step control hot path: at inference its weights arrive from
 the hypernetwork as data, so everything here must be shape-static and
-jit-friendly.
+jit-friendly. Submodule names that appear in generated-weight-plan block
+names (image_encoder, image_embedding_projection, language_token_projection,
+pos_embedding, and the auto-named encoder/transformer) are pinned.
 """
 from typing import Optional
 
@@ -18,12 +21,41 @@ import jax.numpy as jnp
 
 from hypervla_tpu.models.encoders.dinov2 import DINOv2Model, dinov2_config
 from hypervla_tpu.models.transformer import Transformer
-from hypervla_tpu.models.vit_encoders import PatchEncoder, SmallStem, normalize_images
+from hypervla_tpu.models.vit_encoders import (
+    PatchEncoder,
+    SmallStem,
+    normalize_images,
+)
 
-DINO_IMAGE_MEAN = (0.485, 0.456, 0.406)
-DINO_IMAGE_STD = (0.229, 0.224, 0.225)
-CLIP_IMAGE_MEAN = (0.48145466, 0.4578275, 0.40821073)
-CLIP_IMAGE_STD = (0.26862954, 0.26130258, 0.27577711)
+# per-encoder pixel statistics (mean, std)
+_PIXEL_STATS = {
+    "DINOv2": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    "CLIP": (
+        (0.48145466, 0.4578275, 0.40821073),
+        (0.26862954, 0.26130258, 0.27577711),
+    ),
+}
+# kept as module-level names for external users
+DINO_IMAGE_MEAN, DINO_IMAGE_STD = _PIXEL_STATS["DINOv2"]
+CLIP_IMAGE_MEAN, CLIP_IMAGE_STD = _PIXEL_STATS["CLIP"]
+
+_EXPECTED_RESOLUTION = {
+    "EfficientNet": 300,
+    "DINOv2": 224,
+    "CLIP": 224,
+    "Siglip": 224,
+}
+
+
+def _segment_attention_mask(batch, n_lang, n_patch, n_action):
+    """Boolean (B, 1, L, L) mask over [lang | patches | action] segments:
+    full attention, except language rows only see language columns and no
+    row may look at the trailing action tokens."""
+    total = n_lang + n_patch + n_action
+    mask = jnp.ones((batch, 1, total, total), dtype=bool)
+    if n_lang:
+        mask = mask.at[:, :, :n_lang, n_lang:].set(False)
+    return mask.at[:, :, : total - n_action, total - n_action:].set(False)
 
 
 class ViT(nn.Module):
@@ -81,6 +113,98 @@ class ViT(nn.Module):
                 config=clip_vision_config("clip-vit-base-patch16")
             )
 
+    # ----------------------------- encoders -----------------------------
+
+    def _pretrained_embeddings(self, images, train):
+        """DINOv2/CLIP trunk: pixel-normalize, run the frozen/fine-tuned
+        encoder, drop the class token unless kept, optional training-time
+        embedding noise."""
+        mean, std = (jnp.asarray(s) for s in _PIXEL_STATS[self.encoder_type])
+        pixels = (images / 255.0 - mean[None, None, None]) / std[
+            None, None, None
+        ]
+        if self.encoder_type == "CLIP":
+            return self.image_encoder(pixels).last_hidden_state[:, 1:]
+
+        outputs = self.image_encoder(
+            pixels, output_attentions=self.sow_dino_attention
+        )
+        if self.sow_dino_attention:
+            self.sow("intermediates", "DINO_attention_map",
+                     outputs.attentions)
+        emb = outputs.last_hidden_state
+        if not self.include_class_token:
+            emb = emb[:, 1:]
+        if self.image_embedding_noise > 0:
+            noise = jax.random.normal(
+                self.make_rng("embedding_noise"), emb.shape
+            )
+            emb = emb + self.image_embedding_noise * float(train) * noise
+        return emb
+
+    def _patchify(self, images, train, image_embeddings):
+        """Dispatches on encoder_type; returns (B, n_patches, hidden_dim)."""
+        kind = self.encoder_type
+        if kind == "SmallStem":
+            patches = SmallStem(
+                patch_size=self.patch_size,
+                num_features=self.hidden_dim,
+                features=self.cnn_channels,
+            )(images)
+        elif kind == "PatchEncoder":
+            patches = PatchEncoder(
+                patch_size=self.patch_size, num_features=self.hidden_dim
+            )(images)
+        elif kind == "EfficientNet":
+            from hypervla_tpu.models.efficientnet import (
+                MODEL_CONFIGS,
+                EfficientNet,
+            )
+
+            features = EfficientNet(
+                config=MODEL_CONFIGS["efficientnet-b3"]
+            )(normalize_images(images), train=train)
+            patches = nn.Conv(
+                features=self.hidden_dim, kernel_size=(1, 1)
+            )(features)
+        elif kind in ("DINOv2", "CLIP", "Siglip"):
+            if kind != "Siglip":  # SigLIP embeddings arrive precomputed
+                image_embeddings = self._pretrained_embeddings(images, train)
+                if not self.fine_tune_pretrained_image_encoder:
+                    image_embeddings = jax.lax.stop_gradient(
+                        image_embeddings
+                    )
+            patches = nn.Dense(
+                self.hidden_dim, name="image_embedding_projection"
+            )(image_embeddings)
+        else:
+            raise NotImplementedError(
+                f"Unknown encoder type {kind} for ViT"
+            )
+        return patches.reshape(images.shape[0], -1, self.hidden_dim)
+
+    def _positional_table(self, n_patch_and_lang):
+        """Learned positions; when add_positional_embedding is off, only the
+        action tokens get (learned) positions and the rest get zeros."""
+        if self.add_positional_embedding:
+            return self.param(
+                "pos_embedding",
+                nn.initializers.normal(stddev=0.02),
+                (1, n_patch_and_lang + self.action_token_num,
+                 self.hidden_dim),
+            )
+        action_pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, self.action_token_num, self.hidden_dim),
+        )
+        return jnp.concatenate(
+            [jnp.zeros((1, n_patch_and_lang, self.hidden_dim)), action_pos],
+            axis=1,
+        )
+
+    # ------------------------------ forward ------------------------------
+
     @nn.compact
     def __call__(
         self,
@@ -89,113 +213,33 @@ class ViT(nn.Module):
         train: bool = True,
         image_embeddings: Optional[jax.Array] = None,
     ):
-        B, H, W, C = images.shape
-        if self.encoder_type == "EfficientNet":
-            assert H == 300 and W == 300, "EfficientNet input must be 300x300."
-        elif self.encoder_type in ("DINOv2", "CLIP", "Siglip"):
-            assert H == 224 and W == 224, "Pretrained encoder input must be 224x224."
+        B, H, W, _ = images.shape
+        expected = _EXPECTED_RESOLUTION.get(self.encoder_type)
+        assert expected is None or (H == expected and W == expected), (
+            f"{self.encoder_type} input must be {expected}x{expected}."
+        )
 
-        if self.encoder_type == "SmallStem":
-            patches = SmallStem(
-                patch_size=self.patch_size,
-                num_features=self.hidden_dim,
-                features=self.cnn_channels,
-            )(images)
-        elif self.encoder_type == "PatchEncoder":
-            patches = PatchEncoder(
-                patch_size=self.patch_size, num_features=self.hidden_dim
-            )(images)
-        elif self.encoder_type == "EfficientNet":
-            from hypervla_tpu.models.efficientnet import MODEL_CONFIGS, EfficientNet
+        patches = self._patchify(images, train, image_embeddings)
 
-            x = normalize_images(images)
-            image_embeddings = EfficientNet(config=MODEL_CONFIGS["efficientnet-b3"])(
-                x, train=train
-            )
-            patches = nn.Conv(features=self.hidden_dim, kernel_size=(1, 1))(
-                image_embeddings
-            )
-        elif self.encoder_type in ("DINOv2", "CLIP"):
-            raw = images / 255.0
-            if self.encoder_type == "DINOv2":
-                mean, std = jnp.array(DINO_IMAGE_MEAN), jnp.array(DINO_IMAGE_STD)
-            else:
-                mean, std = jnp.array(CLIP_IMAGE_MEAN), jnp.array(CLIP_IMAGE_STD)
-            raw = (raw - mean[None, None, None]) / std[None, None, None]
-            if self.encoder_type == "DINOv2":
-                outputs = self.image_encoder(
-                    raw, output_attentions=self.sow_dino_attention
-                )
-                if self.sow_dino_attention:
-                    self.sow(
-                        "intermediates", "DINO_attention_map", outputs.attentions
-                    )
-                if self.include_class_token:
-                    image_embeddings = outputs.last_hidden_state
-                else:
-                    image_embeddings = outputs.last_hidden_state[:, 1:]
-                if self.image_embedding_noise > 0:
-                    noise_key = self.make_rng("embedding_noise")
-                    noise = jax.random.normal(noise_key, image_embeddings.shape)
-                    image_embeddings = (
-                        image_embeddings
-                        + self.image_embedding_noise * float(train) * noise
-                    )
-            else:
-                image_embeddings = self.image_encoder(raw).last_hidden_state[:, 1:]
-            if not self.fine_tune_pretrained_image_encoder:
-                image_embeddings = jax.lax.stop_gradient(image_embeddings)
-            patches = nn.Dense(self.hidden_dim, name="image_embedding_projection")(
-                image_embeddings
-            )
-        elif self.encoder_type == "Siglip":
-            # SigLIP embeddings are computed outside the graph and passed in
-            patches = nn.Dense(self.hidden_dim, name="image_embedding_projection")(
-                image_embeddings
-            )
-        else:
-            raise NotImplementedError(
-                f"Unknown encoder type {self.encoder_type} for ViT"
-            )
-
-        patches = patches.reshape(B, -1, self.hidden_dim)
-
+        n_lang = 0
         if self.use_language_token:
-            language_token_num = instruction_embeddings.shape[1]
-            token_embedding = nn.Dense(
+            n_lang = instruction_embeddings.shape[1]
+            lang_tokens = nn.Dense(
                 self.hidden_dim, name="language_token_projection"
             )(instruction_embeddings)
-            patches = jnp.concatenate([token_embedding, patches], axis=1)
+            patches = jnp.concatenate([lang_tokens, patches], axis=1)
 
-        action_tokens = jnp.zeros((B, self.action_token_num, self.hidden_dim))
-        x = jnp.concatenate([patches, action_tokens], axis=1)
-
-        if self.add_positional_embedding:
-            pos_embedding = self.param(
-                "pos_embedding",
-                nn.initializers.normal(stddev=0.02),
-                (1, x.shape[1], self.hidden_dim),
-            )
-        else:
-            pos_embedding = self.param(
-                "pos_embedding",
-                nn.initializers.normal(stddev=0.02),
-                (1, self.action_token_num, self.hidden_dim),
-            )
-            pos_embedding = jnp.concatenate(
-                [jnp.zeros([1, *patches.shape[1:]]), pos_embedding], axis=1
-            )
-        x = x + pos_embedding
+        x = jnp.concatenate(
+            [patches,
+             jnp.zeros((B, self.action_token_num, self.hidden_dim))],
+            axis=1,
+        )
+        x = x + self._positional_table(patches.shape[1])
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
 
-        attention_mask = jnp.ones((B, 1, x.shape[1], x.shape[1]), dtype=bool)
-        if self.use_language_token:
-            attention_mask = attention_mask.at[
-                :, :, :language_token_num, language_token_num:
-            ].set(False)
-        attention_mask = attention_mask.at[
-            :, :, : -self.action_token_num, -self.action_token_num :
-        ].set(False)
+        mask = _segment_attention_mask(
+            B, n_lang, patches.shape[1] - n_lang, self.action_token_num
+        )
         x, attention_map = Transformer(
             embedding_dim=self.hidden_dim,
             num_layers=self.num_layers,
@@ -205,7 +249,6 @@ class ViT(nn.Module):
             attention_dropout_rate=0.0,
             use_differential_transformer=self.use_differential_transformer,
             return_attention_map=self.return_attention_map,
-        )(x, attention_mask, train=train)
+        )(x, mask, train=train)
 
-        action_embeddings = x[:, -self.action_token_num :]
-        return action_embeddings, attention_map
+        return x[:, -self.action_token_num:], attention_map

@@ -15,7 +15,6 @@ from enum import Enum
 from fnmatch import fnmatch
 from typing import Any, Dict, Mapping, Sequence, Tuple, Union
 
-import einops
 import flax
 import jax
 import jax.numpy as jnp
@@ -81,23 +80,25 @@ def find_match(pattern_dict: Dict[str, Any], name: str, default: Any) -> Any:
     return default
 
 
+_RULE_PREDICATES = {
+    AttentionRule.CAUSAL: lambda self_t, other_t: other_t <= self_t,
+    AttentionRule.CURRENT: lambda self_t, other_t: other_t == self_t,
+    AttentionRule.STRICT_PAST: lambda self_t, other_t: other_t < self_t,
+    AttentionRule.ALL: lambda self_t, other_t: True,
+    AttentionRule.NEVER: lambda self_t, other_t: False,
+}
+
+
 def _rule_allows(rule: AttentionRule, self_t: int, other_t: int) -> bool:
-    if rule == AttentionRule.CAUSAL:
-        return other_t <= self_t
-    if rule == AttentionRule.CURRENT:
-        return other_t == self_t
-    if rule == AttentionRule.STRICT_PAST:
-        return other_t < self_t
-    if rule == AttentionRule.ALL:
-        return True
-    if rule == AttentionRule.NEVER:
-        return False
-    raise ValueError(f"Invalid attention rule: {rule}")
+    try:
+        return _RULE_PREDICATES[rule](self_t, other_t)
+    except KeyError:
+        raise ValueError(f"Invalid attention rule: {rule}") from None
 
 
-def split_tokens(ary: jax.Array, n_tokens_per_group: Sequence[int], axis: int):
-    cumsum = np.cumsum(n_tokens_per_group)
-    return jnp.split(ary, cumsum, axis=axis)
+def _unstack_groups(array: jax.Array, widths: Sequence[int], axis: int):
+    """Splits a concatenated group axis back into per-group arrays."""
+    return jnp.split(array, np.cumsum(widths), axis=axis)
 
 
 class BlockTransformer(nn.Module):
@@ -141,61 +142,46 @@ class BlockTransformer(nn.Module):
     def assemble_input_tokens(self, prefix_groups, timestep_groups):
         """Concats timestep groups per step, folds horizon into the sequence,
         prepends prefix tokens."""
-        if len(prefix_groups) > 0:
-            all_prefix_tokens = jnp.concatenate(
-                [group.tokens for group in prefix_groups], axis=1
-            )
-        else:
-            all_prefix_tokens = jnp.zeros(
-                (
-                    timestep_groups[0].tokens.shape[0],
-                    0,
-                    timestep_groups[0].tokens.shape[-1],
-                ),
-                dtype=jnp.float32,
-            )
-        all_timestep_tokens = jnp.concatenate(
-            [group.tokens for group in timestep_groups], axis=2
+        batch, _, _, width = timestep_groups[0].tokens.shape
+        prefix = (
+            jnp.concatenate([g.tokens for g in prefix_groups], axis=1)
+            if prefix_groups
+            else jnp.zeros((batch, 0, width), dtype=jnp.float32)
         )
-        all_timestep_tokens = einops.rearrange(
-            all_timestep_tokens,
-            "batch horizon n_tokens d -> batch (horizon n_tokens) d",
+        per_step = jnp.concatenate(
+            [g.tokens for g in timestep_groups], axis=2
         )
-        return jnp.concatenate([all_prefix_tokens, all_timestep_tokens], axis=1)
+        folded = per_step.reshape(batch, -1, width)
+        return jnp.concatenate([prefix, folded], axis=1)
 
-    def split_output_tokens(self, output_tokens, prefix_groups, timestep_groups):
+    def split_output_tokens(self, output_tokens, prefix_groups,
+                            timestep_groups):
+        """Inverse of assemble_input_tokens: routes transformer outputs back
+        into per-group containers."""
         horizon = timestep_groups[0].tokens.shape[1]
-        tokens_per_prefix_group = [g.tokens.shape[1] for g in prefix_groups]
-        n_prefix_tokens = sum(tokens_per_prefix_group)
+        prefix_widths = [g.tokens.shape[1] for g in prefix_groups]
 
-        prefix_embeddings, timestep_embeddings = jnp.split(
-            output_tokens, [n_prefix_tokens], axis=1
+        head, tail = jnp.split(
+            output_tokens, [sum(prefix_widths)], axis=1
         )
-        if len(prefix_groups) > 0:
-            prefix_splits = split_tokens(
-                prefix_embeddings, tokens_per_prefix_group, axis=1
+        prefix_out = [
+            g.replace(tokens=part)
+            for g, part in zip(
+                prefix_groups, _unstack_groups(head, prefix_widths, axis=1)
             )
-            all_prefix_outputs = [
-                group.replace(tokens=embeddings)
-                for group, embeddings in zip(prefix_groups, prefix_splits)
-            ]
-        else:
-            all_prefix_outputs = []
+        ] if prefix_groups else []
 
-        timestep_embeddings = einops.rearrange(
-            timestep_embeddings,
-            "batch (horizon n_tokens) d -> batch horizon n_tokens d",
-            horizon=horizon,
+        unfolded = tail.reshape(
+            tail.shape[0], horizon, -1, tail.shape[-1]
         )
-        tokens_per_timestep_group = [g.tokens.shape[2] for g in timestep_groups]
-        timestep_splits = split_tokens(
-            timestep_embeddings, tokens_per_timestep_group, axis=2
-        )
-        all_timestep_outputs = [
-            group.replace(tokens=embeddings)
-            for group, embeddings in zip(timestep_groups, timestep_splits)
+        ts_widths = [g.tokens.shape[2] for g in timestep_groups]
+        timestep_out = [
+            g.replace(tokens=part)
+            for g, part in zip(
+                timestep_groups, _unstack_groups(unfolded, ts_widths, axis=2)
+            )
         ]
-        return all_prefix_outputs, all_timestep_outputs
+        return prefix_out, timestep_out
 
     def generate_attention_mask(self, prefix_groups, timestep_groups):
         """Rule mask (blockwise) AND padding mask; shape
@@ -235,42 +221,44 @@ class BlockTransformer(nn.Module):
         return jnp.logical_and(jnp.asarray(rule_mask), pad_attention_mask)
 
     def generate_pad_attention_mask(self, prefix_groups, timestep_groups):
-        batch_size, horizon = timestep_groups[0].tokens.shape[:2]
-        if len(prefix_groups) > 0:
-            prefix_pad_mask = jnp.concatenate(
-                [group.mask for group in prefix_groups], axis=1
+        """Key-side padding: a (batch, 1, L, L) mask that zeroes columns of
+        padded tokens (rows are left to the rule mask)."""
+        batch_size = timestep_groups[0].tokens.shape[0]
+        parts = []
+        if prefix_groups:
+            parts.append(
+                jnp.concatenate([g.mask for g in prefix_groups], axis=1)
             )
-        else:
-            prefix_pad_mask = jnp.zeros((batch_size, 0), dtype=jnp.bool_)
-        timestep_pad_mask = jnp.concatenate(
-            [group.mask for group in timestep_groups], axis=2
+        parts.append(
+            jnp.concatenate(
+                [g.mask for g in timestep_groups], axis=2
+            ).reshape(batch_size, -1)
         )
-        timestep_pad_mask = einops.rearrange(
-            timestep_pad_mask, "batch horizon n_tokens -> batch (horizon n_tokens)"
-        )
-        pad_mask = jnp.concatenate([prefix_pad_mask, timestep_pad_mask], axis=1)
+        key_valid = jnp.concatenate(parts, axis=1)
+        length = key_valid.shape[1]
         return jnp.broadcast_to(
-            pad_mask[:, None, None, :],
-            (batch_size, 1, pad_mask.shape[1], pad_mask.shape[1]),
+            key_valid[:, None, None, :], (batch_size, 1, length, length)
         )
 
     def verify_causality(self, prefix_groups, timestep_groups):
-        """No token may attend to a future timestep."""
-        for prefix_group in prefix_groups:
-            for ts_group in timestep_groups:
-                assert (
-                    prefix_group.attention_rules.get(
-                        ts_group.name, AttentionRule.NEVER
-                    )
-                    == AttentionRule.NEVER
-                ), (
-                    f"Causality broken! Prefix group {prefix_group.name} "
-                    f"attends to timestep group {ts_group.name}"
-                )
-        for group in list(prefix_groups) + list(timestep_groups):
-            for other_group in list(prefix_groups) + list(timestep_groups):
+        """No token may attend to a future timestep: prefixes must never
+        read timestep tokens, and ALL (which ignores time) is forbidden."""
+        everyone = list(prefix_groups) + list(timestep_groups)
+        violations = [
+            (p.name, t.name)
+            for p in prefix_groups
+            for t in timestep_groups
+            if p.attention_rules.get(t.name, AttentionRule.NEVER)
+            != AttentionRule.NEVER
+        ]
+        assert not violations, (
+            f"Causality broken! Prefix groups attend to timestep groups: "
+            f"{violations}"
+        )
+        for group in everyone:
+            for other in everyone:
                 rule = find_match(
-                    group.attention_rules, other_group.name, AttentionRule.NEVER
+                    group.attention_rules, other.name, AttentionRule.NEVER
                 )
                 assert rule != AttentionRule.ALL, (
                     "Causality broken! AttentionRule.ALL attends to future "
