@@ -90,6 +90,8 @@ class ViT(nn.Module):
     scan_dino_layers: bool = False
     # single-pass Pallas LayerNorm in the trunk (inference-only serving path)
     fused_layer_norm: bool = False
+    # rematerialize DINO layer activations in backward (fit bigger batches)
+    remat_dino: bool = False
 
     def setup(self):
         if self.encoder_type == "DINOv2":
@@ -102,6 +104,7 @@ class ViT(nn.Module):
                 use_flash=self.use_flash_attention,
                 scan_layers=self.scan_dino_layers,
                 fused_ln=self.fused_layer_norm,
+                remat=self.remat_dino,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

@@ -224,7 +224,13 @@ class _SelfAttention(nn.Module):
 
         q = q / jnp.sqrt(head_dim).astype(self.dtype)
         attn_weights = jnp.einsum("...qhd,...khd->...hqk", q, k)
-        attn_weights = jax.nn.softmax(attn_weights, axis=-1)
+        # softmax internals in fp32 for stability; probabilities are stored
+        # (and kept for backward) in the compute dtype — at bf16 this halves
+        # the dominant HBM term of the trunk's backward pass, the
+        # (batch, heads, 257, 257) probability tensors
+        attn_weights = jax.nn.softmax(
+            attn_weights.astype(jnp.float32), axis=-1
+        ).astype(self.dtype)
         attn_output = jnp.einsum("...hqk,...khd->...qhd", attn_weights, v)
         attn_output = attn_output.reshape(attn_output.shape[:2] + (-1,))
         if output_attentions:
@@ -345,15 +351,22 @@ class _LayerCollection(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     fused_ln: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         all_attentions = () if output_attentions else None
+        layer_cls = _Layer
+        if self.remat:
+            # rematerialize each layer's activations in the backward pass:
+            # trades recompute for the O(layers * tokens * width) residual
+            # stream memory — the standard fit-bigger-batches lever
+            layer_cls = nn.remat(_Layer, static_argnums=(2,))
         for i in range(self.config.num_hidden_layers):
-            outputs = _Layer(
+            outputs = layer_cls(
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
                 fused_ln=self.fused_ln, name=str(i),
-            )(hidden_states, output_attentions=output_attentions)
+            )(hidden_states, output_attentions)
             hidden_states = outputs[0]
             if output_attentions:
                 all_attentions += (outputs[1],)
@@ -384,6 +397,7 @@ class _Encoder(nn.Module):
     use_flash: bool = False
     scan_layers: bool = False
     fused_ln: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -409,7 +423,7 @@ class _Encoder(nn.Module):
             return hidden_states, None
         return _LayerCollection(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
-            fused_ln=self.fused_ln, name="layer",
+            fused_ln=self.fused_ln, remat=self.remat, name="layer",
         )(hidden_states, output_attentions=output_attentions)
 
 
@@ -426,6 +440,8 @@ class DINOv2Model(nn.Module):
     scan_layers: bool = False
     # single-pass Pallas LayerNorm (inference-only serving path)
     fused_ln: bool = False
+    # rematerialize layer activations in backward (fit bigger batches)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -440,7 +456,7 @@ class DINOv2Model(nn.Module):
         x, attentions = _Encoder(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             scan_layers=self.scan_layers, fused_ln=self.fused_ln,
-            name="encoder",
+            remat=self.remat, name="encoder",
         )(x, output_attentions=output_attentions)
         x = _layer_norm(
             self.config, self.dtype, self.fused_ln, "layernorm"

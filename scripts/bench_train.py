@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize DINO layers (fit bigger real batches)")
+    ap.add_argument("--dtype", type=str, default=None,
+                    help="trunk compute dtype override (e.g. bfloat16)")
     ap.add_argument("--profile", type=str, default=None,
                     help="directory for a jax.profiler trace of one step")
     args = ap.parse_args()
@@ -55,8 +59,18 @@ def main():
     from hypervla_tpu.train.train_step import make_train_step
     from hypervla_tpu.train.trainer import build_frozen_encoders
 
-    model, _ = build_flagship(tiny=args.tiny)
+    model, _ = build_flagship(
+        tiny=args.tiny, training=True, encoder_dtype=args.dtype
+    )
     config = model.config
+    if args.remat:
+        config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
+        from hypervla_tpu.models.hypervla import HyperVLA
+
+        model = HyperVLA.from_config(
+            config, make_flagship_batch(batch_size=1), jax.random.PRNGKey(0)
+        )
+        config = model.config
     config["optimizer"]["grad_accumulation_steps"] = args.accum
 
     text_apply, dino_apply, t5_params, dino_params = build_frozen_encoders(
@@ -132,7 +146,8 @@ def main():
 
     best, med = min(per_update_ms), float(np.median(per_update_ms))
     print(json.dumps({
-        "metric": "flagship train step (single-jit GSPMD, bf16 trunk)",
+        "metric": "flagship train step (single-jit GSPMD)",
+        "trunk_dtype": args.dtype or "float32",
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
         "effective_batch": effective_batch,
