@@ -259,11 +259,15 @@ class BinTokenizer(nn.Module):
         if self.bin_type == "uniform":
             inputs = jnp.clip(inputs, self.low + EPS, self.high - EPS)
         # interior-edge searchsorted == the reference's one-hot interval
-        # test for all in-range values
+        # test for in-range values; out-of-range values fall to token 0
+        # exactly like the reference's all-false argmax
         token = jnp.searchsorted(
             self.thresholds[1:-1], inputs, side="right"
         )
-        return token.astype(jnp.int32)
+        in_range = (inputs >= self.thresholds[0]) & (
+            inputs < self.thresholds[-1]
+        )
+        return jnp.where(in_range, token, 0).astype(jnp.int32)
 
     def decode(self, inputs):
         centers = (self.thresholds[1:] + self.thresholds[:-1]) / 2

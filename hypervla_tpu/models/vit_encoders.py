@@ -22,11 +22,9 @@ from jax import lax
 
 from hypervla_tpu.models.film import FilmConditioning
 
-# (mean, std) per RGB channel
-_IMAGENET_STATS = (
-    jnp.asarray([0.485, 0.456, 0.406]),
-    jnp.asarray([0.229, 0.224, 0.225]),
-)
+# (mean, std) per RGB channel — plain tuples; jnp arrays are built lazily
+# so importing this module never initializes a JAX backend
+_IMAGENET_STATS = ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
 
 
 def normalize_images(img, img_norm_type: str = "default"):
@@ -38,7 +36,9 @@ def normalize_images(img, img_norm_type: str = "default"):
     if img_norm_type == "imagenet":
         frames = img.shape[-1] // 3
         assert img.shape[-1] == 3 * frames, "images should have rgb channels!"
-        mean, std = (jnp.tile(s, frames) for s in _IMAGENET_STATS)
+        mean, std = (
+            jnp.tile(jnp.asarray(s), frames) for s in _IMAGENET_STATS
+        )
         return (img.astype(jnp.float32) / 255 - mean) / std
     raise ValueError(f"unknown img_norm_type {img_norm_type}")
 

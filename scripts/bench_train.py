@@ -63,12 +63,19 @@ def main():
         tiny=args.tiny, training=True, encoder_dtype=args.dtype
     )
     config = model.config
+    tiny_batch_kwargs = dict(
+        instr_len=8, action_horizon=2, initial_patch_dim=32, image_size=224
+    )
     if args.remat:
         config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         from hypervla_tpu.models.hypervla import HyperVLA
 
         model = HyperVLA.from_config(
-            config, make_flagship_batch(batch_size=1), jax.random.PRNGKey(0)
+            config,
+            make_flagship_batch(
+                batch_size=1, **(tiny_batch_kwargs if args.tiny else {})
+            ),
+            jax.random.PRNGKey(0),
         )
         config = model.config
     config["optimizer"]["grad_accumulation_steps"] = args.accum
@@ -94,11 +101,7 @@ def main():
         {"t5": t5_params, "dino": dino_params}, replicated(mesh)
     )
 
-    batch_kwargs = (
-        dict(instr_len=8, action_horizon=2, initial_patch_dim=32,
-             image_size=224)
-        if args.tiny else {}
-    )
+    batch_kwargs = tiny_batch_kwargs if args.tiny else {}
     batch = make_flagship_batch(batch_size=args.batch, **batch_kwargs)
     # the step embeds instructions / initial images itself
     del batch["task"]["language_instruction"]["token_embedding"]

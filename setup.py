@@ -14,7 +14,6 @@ setup(
         "flax",
         "optax",
         "orbax-checkpoint",
-        "einops",
         "numpy",
         "pillow",
         "ml_collections",

@@ -10,7 +10,6 @@ import pytest
 from hypervla_tpu.configs import tiny_test_config
 from hypervla_tpu.data.sources import NpzTrajectorySource
 from hypervla_tpu.models.hypervla import HyperVLA
-import pytest
 
 pytestmark = pytest.mark.slow
 

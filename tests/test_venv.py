@@ -3,7 +3,6 @@ import numpy as np
 import pytest
 
 from hypervla_tpu.eval.venv import DummyVectorEnv, ShArray, SubprocVectorEnv
-import pytest
 
 pytestmark = pytest.mark.slow
 
