@@ -95,17 +95,153 @@ def _moving(unnorm_actions, axis=None, magnitude=0.0, **kwargs):
     return np.abs(unnorm_actions[..., axis]) > magnitude
 
 
+def _xyz_info(**kwargs):
+    """Translation-direction quality: angle between predicted and dataset
+    xyz deltas, thresholded accuracy, and absolute closeness."""
+    angle = _xyz_angle(**kwargs)
+    return {
+        "xyz_angle": angle,
+        "xyz_angle_accuracy": angle < 0.5,
+        "xyz_accuracy": _xyz_close(**kwargs),
+    }
+
+
+def _mse_info(actions, pred_actions, **kwargs):
+    """Normalized-action MSE, total and per standard dimension group
+    (xyz translation / xyz rotation / gripper)."""
+    groups = {
+        "mse": None,
+        "mse_xyz": [0, 1, 2],
+        "mse_xyzrotation": [3, 4, 5],
+        "mse_gripper": [6],
+    }
+    return {
+        name: _mse(actions, pred_actions, dims=dims)
+        for name, dims in groups.items()
+    }
+
+
+def _gripper_info(unnorm_actions, **kwargs):
+    """Gripper phase flags: transitioning toward closed ("gripping"),
+    toward open ("releasing"), either, or neither — each timestep judged
+    against a +-3-step neighborhood — plus per-step correctness."""
+    closed = _gripper_closed(unnorm_actions)
+    closed_past = np.roll(closed, 3, axis=0)
+    closed_future = np.roll(closed, -3, axis=0)
+    gripping = (closed & ~closed_past) | (closed_future & ~closed)
+    releasing = (closed_past & ~closed) | (closed & ~closed_future)
+    changing = gripping | releasing
+    return {
+        "gripper_correct": _gripper_correct(
+            unnorm_actions=unnorm_actions, **kwargs
+        ),
+        "gripping": gripping,
+        "releasing": releasing,
+        "gripper_changing": changing,
+        "still": ~changing,
+    }
+
+
+def _gripping_early_metrics(unnorm_actions, unnorm_pred_actions,
+                            unnorm_proprio=None, **kwargs):
+    """Did the policy close the gripper early relative to the dataset?
+    Looks back up to 4 steps from each first-grip timestep; when proprio is
+    available, also gates on the arm having been >=5mm higher (the
+    height-aware variant) and reports the height/steps-to-grip."""
+    closed = _gripper_closed(unnorm_actions)
+    pred_closed = _gripper_closed(unnorm_pred_actions)
+    first_grip = closed & ~np.roll(closed, 1, axis=0)
+
+    lookback = range(1, 5)
+    early_by_i = {
+        i: first_grip & np.roll(pred_closed, i, axis=0) for i in lookback
+    }
+    out = {
+        "is_first_grip": first_grip,
+        "early_gripped": sum(early_by_i.values()) > 0,
+        "gripped_on_time": first_grip
+        & (pred_closed | np.roll(pred_closed, -1, axis=0)),
+    }
+    if unnorm_proprio is not None:
+        z = np.asarray(unnorm_proprio)[:, 1:][:, 2]
+        out["early_gripped_height_aware"] = (
+            sum(
+                (early_by_i[i] & (np.roll(z, i, axis=0) - z > 0.005))
+                for i in lookback
+            )
+            > 0
+        )
+        height_to_grip = np.zeros_like(z)
+        steps_to_grip = np.zeros_like(z)
+        for i in lookback:
+            pred_i = np.roll(pred_closed, i, axis=0)
+            height_to_grip = np.maximum(
+                height_to_grip,
+                np.where(pred_i, np.roll(z, i, axis=0) - z, 0),
+            )
+            steps_to_grip = np.maximum(steps_to_grip, np.where(pred_i, i, 0))
+        out["height_to_grip"] = np.where(first_grip, height_to_grip, 0)
+        out["timestep_to_grip"] = np.where(first_grip, steps_to_grip, 0)
+    return out
+
+
+def _condition_info(unnorm_actions, **kwargs):
+    """Boolean condition masks used for metric breakdowns: near/far from
+    the episode end and whether the arm moved >=1cm."""
+    n = len(unnorm_actions)
+    to_end = n - np.arange(n)
+    return {
+        "<10_to_end": to_end < 10,
+        ">20_to_end": to_end > 20,
+        "moving": _moving(unnorm_actions=unnorm_actions, magnitude=0.01),
+    }
+
+
 def add_manipulation_metrics(info: Dict[str, Any]) -> Dict[str, Any]:
-    """Adds the standard manipulation metrics given a dict with keys
-    actions / pred_actions / unnorm_actions / unnorm_pred_actions."""
+    """Adds the full manipulation metric families given a dict with keys
+    actions / pred_actions / unnorm_actions / unnorm_pred_actions
+    (+ optional unnorm_proprio). Scalar-quality metrics and boolean
+    condition masks share the namespace, like the reference."""
     metrics = {
-        "gripper_correct": _gripper_correct(**info),
-        "xyz_angle": _xyz_angle(**info),
+        **_xyz_info(**info),
+        **_mse_info(**info),
+        **_gripper_info(**info),
+        **_gripping_early_metrics(**info),
+        **_condition_info(**info),
         "xyz_close": _xyz_close(**info),
-        "mse": _mse(info["actions"], info["pred_actions"]),
         "moving": _moving(**info),
     }
     return {**info, **metrics}
+
+
+# condition masks over which metrics_for_wandb reports masked breakdowns
+_CONDITION_KEYS = (
+    "moving", "gripping", "releasing", "still", "<10_to_end", ">20_to_end",
+)
+_QUALITY_KEYS = (
+    "gripper_correct", "xyz_angle", "xyz_angle_accuracy", "xyz_accuracy",
+    "xyz_close", "mse", "mse_xyz", "mse_xyzrotation", "mse_gripper",
+    "early_gripped", "gripped_on_time",
+)
+
+
+def masked_breakdowns(info: Dict[str, Any]) -> Dict[str, float]:
+    """quality-metric means, overall and under each condition mask
+    (e.g. "mse where gripping") — the reference's wandb metric table."""
+    out = {}
+    for qk in _QUALITY_KEYS:
+        if qk not in info:
+            continue
+        q = np.asarray(info[qk], dtype=np.float64)
+        out[qk] = float(q.mean())
+        for ck in _CONDITION_KEYS:
+            if ck not in info:
+                continue
+            mask = np.asarray(info[ck])
+            if mask.dtype != bool or mask.shape != q.shape or not mask.any():
+                continue
+            out[f"{qk}_where_{ck}"] = float(q[mask].mean())
+    return out
 
 
 @dataclass
@@ -160,18 +296,16 @@ class Visualizer:
                     unnorm_pred_actions=unnorm_pred,
                 )
             )
-            all_metrics.append(
-                {
-                    k: float(np.mean(v))
-                    for k, v in info.items()
-                    if k in ("gripper_correct", "xyz_angle", "xyz_close",
-                             "mse", "moving")
-                }
-            )
+            per_traj = masked_breakdowns(info)
+            per_traj["moving"] = float(np.mean(info["moving"]))
+            all_metrics.append(per_traj)
+        if not all_metrics:
+            return {}
+        keys = set().union(*(m.keys() for m in all_metrics))
         return {
-            k: float(np.mean([m[k] for m in all_metrics]))
-            for k in all_metrics[0]
-        } if all_metrics else {}
+            k: float(np.mean([m[k] for m in all_metrics if k in m]))
+            for k in sorted(keys)
+        }
 
     def raw_evaluations(self, policy_fn, n_trajs: int = 8):
         """Returns the per-trajectory raw info dicts (un-aggregated)."""
