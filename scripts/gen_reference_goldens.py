@@ -27,58 +27,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# ---- shims for the reference's older jax/missing deps ----
-if not hasattr(jax.random, "KeyArray"):
-    jax.random.KeyArray = jax.Array
-if not hasattr(jax, "tree_map"):
-    jax.tree_map = jax.tree_util.tree_map
+# shared shims (distrax/dlimp/KeyArray/process_allgather + zero-egress HF
+# constructors); the tiny DINO config matches our "dinov2-test" twin
+from scripts import reference_shims  # noqa: E402
 
-distrax = types.ModuleType("distrax")
-
-
-class _Categorical:
-    def __init__(self, logits=None):
-        self.logits = logits
-
-    def mode(self):
-        import jax.numpy as jnp
-
-        return jnp.argmax(self.logits, axis=-1)
-
-    def sample(self, seed=None, sample_shape=()):
-        return jax.random.categorical(seed, self.logits)
-
-
-distrax.Categorical = _Categorical
-sys.modules["distrax"] = distrax
-
-# modern process_allgather prepends a process axis even single-process;
-# identity is the old single-process behavior the reference assumes
-from jax.experimental import multihost_utils  # noqa: E402
-
-multihost_utils.process_allgather = lambda tree, *a, **k: jax.tree_util.tree_map(
-    np.asarray, tree
+reference_shims.install(
+    dino_hidden=32, dino_layers=2, dino_heads=2, dino_image_size=224
 )
-
-sys.path.insert(0, "/root/reference")
 
 import flax  # noqa: E402
 import flax.serialization  # noqa: E402
-
-# The reference hardcodes FlaxDinov2Model.from_pretrained("facebook/
-# dinov2-base") — a hub download it only uses for the CONFIG (its params are
-# randomly re-initialized by base_net.init). Patch it to a deterministic tiny
-# model matching our "dinov2-test" named config so the DINOv2 shared-encoder
-# path runs offline.
-import transformers  # noqa: E402
-
-_TINY_DINO_HF = transformers.Dinov2Config(
-    hidden_size=32, num_hidden_layers=2, num_attention_heads=2, mlp_ratio=4,
-    patch_size=14, image_size=224, layerscale_value=1.0,
-)
-transformers.FlaxDinov2Model.from_pretrained = classmethod(
-    lambda cls, *a, **k: cls(_TINY_DINO_HF, seed=0)
-)
 
 from hypervla.model import HyperVLA as RefHyperVLA  # noqa: E402
 
