@@ -12,6 +12,7 @@ from typing import List
 import flax
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from hypervla_tpu.typing import Params
@@ -108,6 +109,85 @@ def _wd_mask(weight_decay_strategy: str, params):
     )
 
 
+def _packed_adamw(params_shape, hn_param_type, wd_mask, lr_callable,
+                  base_lr_callable, weight_decay, base_weight_decay,
+                  adam_kwargs):
+    """AdamW over a few packed flat buffers instead of one op-chain per
+    param leaf.
+
+    Leaves are grouped by (generated|shared, weight-decayed?) — within a
+    group the lr schedule and wd coefficient are uniform, so concatenating
+    the raveled leaves and running elementwise AdamW on the packed vector
+    is mathematically identical to the per-leaf transform (update order
+    inside an elementwise op is irrelevant). This collapses ~10 XLA ops per
+    leaf into ~10 per GROUP, shrinking the train step's op count; the
+    optimizer state becomes {group: vector} (a different checkpoint layout
+    — hence opt-in via optimizer.packed=True).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params_shape)
+    kinds = jax.tree_util.tree_leaves(hn_param_type)
+    decayed = jax.tree_util.tree_leaves(wd_mask)
+    assert len(kinds) == len(leaves) == len(decayed)
+
+    group_of = [
+        (kind, bool(dec)) for kind, dec in zip(kinds, decayed)
+    ]
+    groups = sorted(set(group_of))
+    members = {
+        g: [i for i, gi in enumerate(group_of) if gi == g] for g in groups
+    }
+
+    def pack(tree):
+        flat = jax.tree_util.tree_leaves(tree)
+        return {
+            str(g): jnp.concatenate(
+                [jnp.ravel(flat[i]) for i in members[g]]
+            )
+            for g in groups
+        }
+
+    def unpack(packed):
+        out = [None] * len(leaves)
+        for g in groups:
+            buf = packed[str(g)]
+            offset = 0
+            for i in members[g]:
+                size = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+                out[i] = buf[offset:offset + size].reshape(leaves[i].shape)
+                offset += size
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    def group_tx(g):
+        kind, dec = g
+        lr = base_lr_callable if kind == "shared" else lr_callable
+        wd = (base_weight_decay if kind == "shared" else weight_decay) or 0.0
+        return optax.adamw(
+            mu_dtype=jnp.bfloat16, **adam_kwargs, learning_rate=lr,
+            weight_decay=wd if dec else 0.0,
+        )
+
+    inner = {str(g): group_tx(g) for g in groups}
+
+    def init(params):
+        packed = pack(params)
+        return {k: inner[k].init({k: v}) for k, v in packed.items()}
+
+    def update(grads, state, params=None):
+        packed_grads = pack(grads)
+        packed_params = pack(params) if params is not None else None
+        new_state, packed_updates = {}, {}
+        for k in packed_grads:
+            u, s = inner[k].update(
+                {k: packed_grads[k]}, state[k],
+                {k: packed_params[k]} if packed_params is not None else None,
+            )
+            packed_updates[k] = u[k]
+            new_state[k] = s
+        return unpack(packed_updates), new_state
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(
     params_or_params_shape: Params,
     hn_param_type,
@@ -145,8 +225,14 @@ def create_optimizer(
     grad_accumulation_steps = kwargs.pop("grad_accumulation_steps", 1)
     weight_decay = kwargs.pop("weight_decay", None)
     base_weight_decay = kwargs.pop("base_weight_decay", None)
+    packed = kwargs.pop("packed", False)
 
-    if "shared" not in jax.tree_util.tree_leaves(hn_param_type):
+    if packed:
+        tx = _packed_adamw(
+            params_or_params_shape, hn_param_type, wd_mask, lr_callable,
+            base_lr_callable, weight_decay, base_weight_decay, kwargs,
+        )
+    elif "shared" not in jax.tree_util.tree_leaves(hn_param_type):
         tx = optax.adamw(
             mu_dtype=jnp.bfloat16,
             **kwargs,

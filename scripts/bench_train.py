@@ -40,6 +40,8 @@ def main():
                     help="rematerialize DINO layers (fit bigger real batches)")
     ap.add_argument("--dtype", type=str, default=None,
                     help="trunk compute dtype override (e.g. bfloat16)")
+    ap.add_argument("--packed", action="store_true",
+                    help="packed flat-group AdamW (optimizer.packed=True)")
     ap.add_argument("--profile", type=str, default=None,
                     help="directory for a jax.profiler trace of one step")
     args = ap.parse_args()
@@ -79,6 +81,8 @@ def main():
         )
         config = model.config
     config["optimizer"]["grad_accumulation_steps"] = args.accum
+    if args.packed:
+        config["optimizer"]["packed"] = True
 
     text_apply, dino_apply, t5_params, dino_params = build_frozen_encoders(
         config

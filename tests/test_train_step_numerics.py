@@ -152,3 +152,32 @@ def test_v4_weight_decay_update_norm_and_direction(flagship_tiny):
 
     # the decay direction must actually touch the params (non-degenerate)
     assert delta_norm > 0
+
+
+def test_packed_optimizer_matches_per_leaf(flagship_tiny):
+    """optimizer.packed=True groups leaves into flat buffers; its updates
+    must be numerically identical to the per-leaf multi_transform AdamW."""
+    model, _ = flagship_tiny
+    cfg = dict(copy.deepcopy(model.config)["optimizer"])
+    labels = hn_param_type_tree(model.params)
+    tx_ref, *_ = create_optimizer(model.params, labels, **cfg)
+    tx_packed, *_ = create_optimizer(
+        model.params, labels, **dict(cfg, packed=True)
+    )
+
+    rng = np.random.RandomState(0)
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape), p.dtype) * 1e-3,
+        model.params,
+    )
+    updates_ref, _ = tx_ref.update(
+        grads, tx_ref.init(model.params), model.params
+    )
+    updates_packed, _ = tx_packed.update(
+        grads, tx_packed.init(model.params), model.params
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(updates_ref),
+        jax.tree_util.tree_leaves(updates_packed),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
