@@ -216,9 +216,12 @@ class _SelfAttention(nn.Module):
         v = dense("value")(hidden_states).reshape(shape)
 
         if self.use_flash and not output_attentions:
-            from hypervla_tpu.ops.flash_attention import mha_flash
+            # differentiable flash (custom VJP recomputes attention in the
+            # backward pass): the (heads, L, L) probability tensors never
+            # hit HBM — usable for training, not just serving
+            from hypervla_tpu.ops.flash_attention import mha_flash_trainable
 
-            attn_output = mha_flash(q, k, v)
+            attn_output = mha_flash_trainable(q, k, v)
             attn_output = attn_output.reshape(attn_output.shape[:2] + (-1,))
             return (attn_output,)
 

@@ -119,3 +119,59 @@ def mha_flash(query, key, value, interpret: bool = False):
         interpret=interpret,
     )
     return out.reshape(b, h, q_len, d).transpose(0, 2, 1, 3)
+
+
+def mha_flash_trainable(query, key, value):
+    """Differentiable multi-head flash attention for TRAINING.
+
+    Wraps jax's TPU Pallas flash-attention (which ships a custom VJP that
+    recomputes attention in the backward pass — the (heads, L, L)
+    probability tensors never hit HBM, forward or backward). Inputs are
+    (batch, seq, heads, head_dim) like mha_flash; the sequence is padded to
+    the kernel's block size and padded keys are masked out via segment ids.
+    Falls back to the XLA einsum path off-TPU.
+    """
+    b, seq, h, d = query.shape
+    sm_scale = 1.0 / np.sqrt(d)
+    if jax.default_backend() != "tpu":
+        logits = jnp.einsum("bqhd,bkhd->bhqk", query * sm_scale, key)
+        probs = jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1
+        ).astype(query.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, value)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention as jax_flash,
+    )
+
+    block = 128
+    seq_pad = _round_up(seq, block)
+    pad = seq_pad - seq
+
+    def to_bhsd(x):
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        return x.transpose(0, 2, 1, 3)
+
+    # valid tokens share segment 1; padding gets 0, so no valid query ever
+    # attends a padded key
+    ids = jnp.pad(
+        jnp.ones((b, seq), jnp.int32), ((0, 0), (0, pad))
+    )
+    blk = lambda n: min(block, n)  # noqa: E731
+    sizes = BlockSizes(
+        block_q=blk(seq_pad), block_k_major=blk(seq_pad),
+        block_k=blk(seq_pad), block_b=1,
+        block_q_major_dkv=blk(seq_pad), block_k_major_dkv=blk(seq_pad),
+        block_k_dkv=blk(seq_pad), block_q_dkv=blk(seq_pad),
+        block_k_major_dq=blk(seq_pad), block_k_dq=blk(seq_pad),
+        block_q_dq=blk(seq_pad),
+    )
+    out = jax_flash(
+        to_bhsd(query), to_bhsd(key), to_bhsd(value),
+        segment_ids=SegmentIds(q=ids, kv=ids),
+        sm_scale=sm_scale,
+        block_sizes=sizes,
+    )
+    return out.transpose(0, 2, 1, 3)[:, :seq]

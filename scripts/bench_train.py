@@ -42,6 +42,8 @@ def main():
                     help="trunk compute dtype override (e.g. bfloat16)")
     ap.add_argument("--packed", action="store_true",
                     help="packed flat-group AdamW (optimizer.packed=True)")
+    ap.add_argument("--flash", action="store_true",
+                    help="differentiable flash attention in the DINO trunk")
     ap.add_argument("--profile", type=str, default=None,
                     help="directory for a jax.profiler trace of one step")
     args = ap.parse_args()
@@ -68,8 +70,12 @@ def main():
     tiny_batch_kwargs = dict(
         instr_len=8, action_horizon=2, initial_patch_dim=32, image_size=224
     )
-    if args.remat:
-        config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
+    if args.flash:
+        config["base_net_kwargs"]["vit_kwargs"]["use_flash_attention"] = True
+        config["base_net_kwargs"]["vit_kwargs"]["sow_dino_attention"] = False
+    if args.remat or args.flash:
+        if args.remat:
+            config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         from hypervla_tpu.models.hypervla import HyperVLA
 
         model = HyperVLA.from_config(
@@ -80,6 +86,9 @@ def main():
             jax.random.PRNGKey(0),
         )
         config = model.config
+        config["optimizer"]["grad_accumulation_steps"] = args.accum
+        if args.packed:
+            config["optimizer"]["packed"] = True
     config["optimizer"]["grad_accumulation_steps"] = args.accum
     if args.packed:
         config["optimizer"]["packed"] = True
