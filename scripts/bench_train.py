@@ -124,8 +124,12 @@ def main():
     effective_batch = args.batch * args.accum
 
     def one_update(state):
+        # steady-state semantics: the trainer computes the logging-only
+        # global norms only on log steps (with_metrics=step_will_log)
         for _ in range(micro_per_update):
-            state, info = step_fn(state, staged, {}, encoder_params)
+            state, info = step_fn(
+                state, staged, {}, encoder_params, with_metrics=False
+            )
         return state, info
 
     print(
