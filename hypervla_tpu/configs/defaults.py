@@ -241,3 +241,22 @@ def tiny_test_config(
     config["hypernet_kwargs"].update(hk_overrides)
     config.update(copy.deepcopy(overrides))
     return config
+
+
+def disable_unused_attention_capture(config):
+    """Turns off DINO attention-map capture when nothing consumes it (no
+    aux loss, no return_attention_map) — the maps cost 12 x (heads, 257,
+    257) activations per sample kept for backward. Shared by the trainer
+    and the benchmarks so the gating cannot drift."""
+    aux = config["auxiliary_loss"]
+    if (
+        aux.get("attention_map_alignment", 0.0) == 0.0
+        and aux.get("attention_entropy", 0.0) == 0.0
+        and not config["base_net_kwargs"]["vit_kwargs"].get(
+            "return_attention_map", False
+        )
+    ):
+        config["base_net_kwargs"]["vit_kwargs"].setdefault(
+            "sow_dino_attention", False
+        )
+    return config

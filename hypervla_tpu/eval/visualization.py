@@ -73,11 +73,18 @@ def _xyz_angle(unnorm_actions, unnorm_pred_actions, **kwargs):
                          _get_xyz(unnorm_pred_actions))
 
 
-def _xyz_close(unnorm_actions, unnorm_pred_actions, threshold=0.05, **kwargs):
-    dist = np.linalg.norm(
-        _get_xyz(unnorm_actions) - _get_xyz(unnorm_pred_actions), axis=-1
+def _xyz_close(unnorm_actions, unnorm_pred_actions, **kwargs):
+    """Reference semantics: direction within 0.5 rad AND magnitudes within
+    2x of each other (octo/utils/visualization_lib.py:631-640)."""
+    norm_true = np.linalg.norm(_get_xyz(unnorm_actions), axis=-1)
+    norm_pred = np.linalg.norm(_get_xyz(unnorm_pred_actions), axis=-1)
+    angle = _xyz_angle(unnorm_actions=unnorm_actions,
+                       unnorm_pred_actions=unnorm_pred_actions)
+    return (
+        (angle < 0.5)
+        & (norm_true > 0.5 * norm_pred)
+        & (norm_pred > 0.5 * norm_true)
     )
-    return dist < threshold
 
 
 def _mse(actions, pred_actions, dims=None, **kwargs):
@@ -147,7 +154,14 @@ def _gripping_early_metrics(unnorm_actions, unnorm_pred_actions,
     """Did the policy close the gripper early relative to the dataset?
     Looks back up to 4 steps from each first-grip timestep; when proprio is
     available, also gates on the arm having been >=5mm higher (the
-    height-aware variant) and reports the height/steps-to-grip."""
+    height-aware variant) and reports the height/steps-to-grip.
+
+    Grip timing is about the EXECUTED action — chunked [T, horizon, D]
+    actions are reduced to their first horizon step so every quantity here
+    is per-timestep [T] (matching the per-step proprio)."""
+    if np.asarray(unnorm_actions).ndim == 3:
+        unnorm_actions = np.asarray(unnorm_actions)[:, 0]
+        unnorm_pred_actions = np.asarray(unnorm_pred_actions)[:, 0]
     closed = _gripper_closed(unnorm_actions)
     pred_closed = _gripper_closed(unnorm_pred_actions)
     first_grip = closed & ~np.roll(closed, 1, axis=0)
@@ -217,6 +231,7 @@ def add_manipulation_metrics(info: Dict[str, Any]) -> Dict[str, Any]:
 # condition masks over which metrics_for_wandb reports masked breakdowns
 _CONDITION_KEYS = (
     "moving", "gripping", "releasing", "still", "<10_to_end", ">20_to_end",
+    "is_first_grip",
 )
 _QUALITY_KEYS = (
     "gripper_correct", "xyz_angle", "xyz_angle_accuracy", "xyz_accuracy",
@@ -238,7 +253,13 @@ def masked_breakdowns(info: Dict[str, Any]) -> Dict[str, float]:
             if ck not in info:
                 continue
             mask = np.asarray(info[ck])
-            if mask.dtype != bool or mask.shape != q.shape or not mask.any():
+            # a [T] mask selects along axis 0 of [T, ...] quantities
+            compatible = (
+                mask.dtype == bool
+                and mask.ndim <= q.ndim
+                and mask.shape == q.shape[: mask.ndim]
+            )
+            if not compatible or not mask.any():
                 continue
             out[f"{qk}_where_{ck}"] = float(q[mask].mean())
     return out

@@ -80,17 +80,11 @@ def build_flagship(
     if encoder_dtype is not None:
         config["base_net_kwargs"]["vit_kwargs"]["encoder_dtype"] = encoder_dtype
     if training:
-        # mirror the trainer: the flagship recipe has no aux loss consuming
-        # DINO attention maps, so skip capturing them (12 x (heads, 257, 257)
-        # activations per sample otherwise kept for backward)
-        aux = config["auxiliary_loss"]
-        if (
-            aux.get("attention_map_alignment", 0.0) == 0.0
-            and aux.get("attention_entropy", 0.0) == 0.0
-        ):
-            config["base_net_kwargs"]["vit_kwargs"].setdefault(
-                "sow_dino_attention", False
-            )
+        from hypervla_tpu.configs.defaults import (
+            disable_unused_attention_capture,
+        )
+
+        disable_unused_attention_capture(config)
     if serving:
         # fastest per-step path at bs=1: XLA einsum attention, no
         # attention-map capture. Profiler-measured (PERF.md): the Pallas

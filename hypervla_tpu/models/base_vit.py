@@ -81,6 +81,9 @@ class ViT(nn.Module):
     encoder_dtype: str = "float32"
     # fused Pallas attention in the pretrained trunk (TPU serving path)
     use_flash_attention: bool = False
+    # differentiable flash kernel (training; measured slower at the 257-token
+    # flagship geometry — see PERF.md)
+    flash_attention_trainable: bool = False
     # capture DINOv2 attention maps (needed for the attention-alignment aux
     # loss and eval-time visualization; skip for fastest serving)
     sow_dino_attention: bool = True
@@ -102,6 +105,7 @@ class ViT(nn.Module):
                 config=dinov2_config(self.pretrained_encoder_name),
                 dtype=jnp.dtype(self.encoder_dtype),
                 use_flash=self.use_flash_attention,
+                flash_trainable=self.flash_attention_trainable,
                 scan_layers=self.scan_dino_layers,
                 fused_ln=self.fused_layer_norm,
                 remat=self.remat_dino,

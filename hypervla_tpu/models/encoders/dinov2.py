@@ -199,6 +199,7 @@ class _SelfAttention(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    flash_trainable: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -216,12 +217,20 @@ class _SelfAttention(nn.Module):
         v = dense("value")(hidden_states).reshape(shape)
 
         if self.use_flash and not output_attentions:
-            # differentiable flash (custom VJP recomputes attention in the
-            # backward pass): the (heads, L, L) probability tensors never
-            # hit HBM — usable for training, not just serving
-            from hypervla_tpu.ops.flash_attention import mha_flash_trainable
+            if self.flash_trainable:
+                # differentiable flash (custom VJP recomputes attention in
+                # the backward pass): the (heads, L, L) probability tensors
+                # never hit HBM — usable under grad
+                from hypervla_tpu.ops.flash_attention import (
+                    mha_flash_trainable,
+                )
 
-            attn_output = mha_flash_trainable(q, k, v)
+                attn_output = mha_flash_trainable(q, k, v)
+            else:
+                # forward-only serving kernel (round-1 measured path)
+                from hypervla_tpu.ops.flash_attention import mha_flash
+
+                attn_output = mha_flash(q, k, v)
             attn_output = attn_output.reshape(attn_output.shape[:2] + (-1,))
             return (attn_output,)
 
@@ -245,12 +254,13 @@ class _Attention(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    flash_trainable: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         outputs = _SelfAttention(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
-            name="attention",
+            flash_trainable=self.flash_trainable, name="attention",
         )(hidden_states, output_attentions=output_attentions)
         attn = _SelfOutput(self.config, dtype=self.dtype, name="output")(outputs[0])
         return (attn,) + outputs[1:]
@@ -326,6 +336,7 @@ class _Layer(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    flash_trainable: bool = False
     fused_ln: bool = False
 
     @nn.compact
@@ -335,7 +346,8 @@ class _Layer(nn.Module):
             hidden_states
         )
         attn_outputs = _Attention(
-            c, dtype=self.dtype, use_flash=self.use_flash, name="attention"
+            c, dtype=self.dtype, use_flash=self.use_flash,
+            flash_trainable=self.flash_trainable, name="attention"
         )(normed, output_attentions=output_attentions)
         attn = _LayerScale(c, name="layer_scale1")(attn_outputs[0])
         hidden_states = attn + hidden_states
@@ -353,6 +365,7 @@ class _LayerCollection(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    flash_trainable: bool = False
     fused_ln: bool = False
     remat: bool = False
 
@@ -368,6 +381,7 @@ class _LayerCollection(nn.Module):
         for i in range(self.config.num_hidden_layers):
             outputs = layer_cls(
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
+            flash_trainable=self.flash_trainable,
                 fused_ln=self.fused_ln, name=str(i),
             )(hidden_states, output_attentions)
             hidden_states = outputs[0]
@@ -382,12 +396,14 @@ class _ScanBlock(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    flash_trainable: bool = False
     fused_ln: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         out = _Layer(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
+            flash_trainable=self.flash_trainable,
             fused_ln=self.fused_ln, name="layer",
         )(carry)
         # fp32 layer-scale params upcast the residual; keep the carry dtype
@@ -398,6 +414,7 @@ class _Encoder(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
     use_flash: bool = False
+    flash_trainable: bool = False
     scan_layers: bool = False
     fused_ln: bool = False
     remat: bool = False
@@ -421,11 +438,13 @@ class _Encoder(nn.Module):
             )
             hidden_states, _ = scan(
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
+            flash_trainable=self.flash_trainable,
                 fused_ln=self.fused_ln, name="layers",
             )(hidden_states, None)
             return hidden_states, None
         return _LayerCollection(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
+            flash_trainable=self.flash_trainable,
             fused_ln=self.fused_ln, remat=self.remat, name="layer",
         )(hidden_states, output_attentions=output_attentions)
 
@@ -437,6 +456,7 @@ class DINOv2Model(nn.Module):
     dtype: Dtype = jnp.float32
     # fused Pallas attention (TPU; not used when attention maps are requested)
     use_flash: bool = False
+    flash_trainable: bool = False
     # stacked layer params + lax.scan over layers (serving fast path; does
     # not support output_attentions). Convert loop-layout checkpoints with
     # `stack_layer_params`.
@@ -458,6 +478,7 @@ class DINOv2Model(nn.Module):
         )
         x, attentions = _Encoder(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
+            flash_trainable=self.flash_trainable,
             scan_layers=self.scan_layers, fused_ln=self.fused_ln,
             remat=self.remat, name="encoder",
         )(x, output_attentions=output_attentions)

@@ -226,6 +226,12 @@ def create_optimizer(
     weight_decay = kwargs.pop("weight_decay", None)
     base_weight_decay = kwargs.pop("base_weight_decay", None)
     packed = kwargs.pop("packed", False)
+    if packed and frozen_keys:
+        raise ValueError(
+            "optimizer.packed=True cannot be combined with frozen_keys: "
+            "the freeze wrapper changes the leaf structure the packing "
+            "spec is built from. Use per-leaf mode for frozen runs."
+        )
 
     if packed:
         tx = _packed_adamw(

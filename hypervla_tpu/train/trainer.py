@@ -203,19 +203,12 @@ def train(
     example_batch = next(data_iter)
     example_batch = _prime_example_batch(example_batch, config)
 
-    # skip DINO attention-map capture when nothing consumes it (the maps cost
-    # 12 x (heads, 257, 257) activations per sample, kept for backward)
-    aux = config["auxiliary_loss"]
-    if (
-        aux.get("attention_map_alignment", 0.0) == 0.0
-        and aux.get("attention_entropy", 0.0) == 0.0
-        and not config["base_net_kwargs"]["vit_kwargs"].get(
-            "return_attention_map", False
-        )
-    ):
-        config["base_net_kwargs"]["vit_kwargs"].setdefault(
-            "sow_dino_attention", False
-        )
+    # skip DINO attention-map capture when nothing consumes it
+    from hypervla_tpu.configs.defaults import (
+        disable_unused_attention_capture,
+    )
+
+    disable_unused_attention_capture(config)
 
     text_apply, dino_apply, t5_params, dino_params = build_frozen_encoders(
         config

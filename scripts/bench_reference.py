@@ -81,7 +81,8 @@ def main():
         config = flagship_pretrain_config()
     # this framework's vit_kwargs extensions the reference ViT doesn't know
     for k in ("pretrained_encoder_name", "encoder_dtype", "use_flash_attention",
-              "sow_dino_attention", "scan_dino_layers", "fused_layer_norm", "remat_dino"):
+              "sow_dino_attention", "scan_dino_layers", "fused_layer_norm", "remat_dino",
+              "flash_attention_trainable"):
         config["base_net_kwargs"]["vit_kwargs"].pop(k, None)
     config["auxiliary_loss"]["rephrase_strategy"] = None  # same FLOPs: one
     # t5 encode of the (non-rephrased) instruction per step, train.py:415

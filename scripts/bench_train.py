@@ -72,6 +72,9 @@ def main():
     )
     if args.flash:
         config["base_net_kwargs"]["vit_kwargs"]["use_flash_attention"] = True
+        config["base_net_kwargs"]["vit_kwargs"][
+            "flash_attention_trainable"
+        ] = True
         config["base_net_kwargs"]["vit_kwargs"]["sow_dino_attention"] = False
     if args.remat or args.flash:
         if args.remat:
@@ -86,9 +89,6 @@ def main():
             jax.random.PRNGKey(0),
         )
         config = model.config
-        config["optimizer"]["grad_accumulation_steps"] = args.accum
-        if args.packed:
-            config["optimizer"]["packed"] = True
     config["optimizer"]["grad_accumulation_steps"] = args.accum
     if args.packed:
         config["optimizer"]["packed"] = True

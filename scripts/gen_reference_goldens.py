@@ -15,7 +15,6 @@ output heads, and the continuous action head.
 """
 import os
 import sys
-import types
 
 import numpy as np
 
@@ -80,7 +79,7 @@ CASES = {
             for k in (
                 "pretrained_encoder_name", "encoder_dtype",
                 "use_flash_attention", "sow_dino_attention",
-                "scan_dino_layers",
+                "scan_dino_layers", "flash_attention_trainable",
             )
         ],
     ),

@@ -109,7 +109,8 @@ def test_full_flagship_actions_match_reference_with_real_weights():
     ref_config = jax.tree_util.tree_map(lambda x: x, config)  # deep-ish copy
     for key in ("pretrained_encoder_name", "encoder_dtype",
                 "use_flash_attention", "sow_dino_attention",
-                "scan_dino_layers", "fused_layer_norm", "remat_dino"):
+                "scan_dino_layers", "fused_layer_norm", "remat_dino",
+              "flash_attention_trainable"):
         ref_config["base_net_kwargs"]["vit_kwargs"].pop(key, None)
 
     batch = make_flagship_batch(batch_size=2)
