@@ -87,6 +87,25 @@ def main():
     p50 = float(np.percentile(window_s, 50))
     p90 = float(np.percentile(window_s, 90))
 
+    # batched serving: device time is dominated by reading the DINO weights
+    # once per step, so batching environments multiplies actions/s — the
+    # production-serving configuration (one task, N concurrent envs)
+    batch8_actions_per_sec = None
+    try:
+        images8 = jnp.tile(images, (8, 1, 1, 1, 1))
+        emb8 = jnp.tile(token_embedding, (8, 1, 1))
+        mask8 = jnp.tile(pad_mask, (8, 1))
+        params8 = base_params  # same task -> same generated weights
+        a8 = step(params8, images8, emb8, mask8, rng)
+        jax.block_until_ready(a8)
+        t0 = time.perf_counter()
+        for _ in range(100):
+            a8 = step(params8, images8, emb8, mask8, rng)
+        jax.block_until_ready(a8)
+        batch8_actions_per_sec = 8 * 100 / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     # device-true time via a short profiler capture (read with the in-repo
     # TensorBoard-free xplane parser) — separates the program's cost from
     # shared-host dispatch overhead
@@ -136,6 +155,10 @@ def main():
                 round(1000.0 / device_ms, 1) if device_ms else None
             ),
             "hypernet_gen_first_call_s": round(gen_time_first, 3),
+            "batch8_actions_per_sec": (
+                round(batch8_actions_per_sec, 1)
+                if batch8_actions_per_sec else None
+            ),
             "device": str(jax.devices()[0]),
         },
     }

@@ -54,6 +54,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from hypervla_tpu.flagship import build_flagship, make_flagship_batch
+    from hypervla_tpu.utils.jax_utils import initialize_compilation_cache
+
+    initialize_compilation_cache()
     from hypervla_tpu.parallel.mesh import create_mesh, replicated, shard_batch
     from hypervla_tpu.train.optimizer import (
         create_optimizer,
