@@ -106,6 +106,34 @@ def main():
     except Exception:
         pass
 
+    # multi-task batched serving: 8 DIFFERENT generated policies vmapped in
+    # one program (generated leaves batched, shared DINO trunk read once)
+    multitask8_actions_per_sec = None
+    try:
+        from hypervla_tpu.ops.serving import make_multitask_serving_step
+
+        stats = {"mean": np.zeros(7), "std": np.ones(7)}
+        multi, multi_init, stack = make_multitask_serving_step(
+            model, stats, image_size=224, crop=False, ensemble=False
+        )
+        stacked = stack([base_params] * 8)
+        frames8 = jnp.tile(
+            example["observation"]["image_primary"][0, 0][None], (8, 1, 1, 1)
+        )
+        emb8 = jnp.tile(token_embedding, (8, 1, 1))
+        hist8 = jnp.stack([multi_init()] * 8)
+        idx8 = jnp.zeros(8, jnp.int32)
+        rngs8 = jax.random.split(rng, 8)
+        a8, hist8 = multi(stacked, frames8, emb8, hist8, idx8, rngs8)
+        jax.block_until_ready(a8)
+        t0 = time.perf_counter()
+        for _ in range(100):
+            a8, hist8 = multi(stacked, frames8, emb8, hist8, idx8, rngs8)
+        jax.block_until_ready(a8)
+        multitask8_actions_per_sec = 8 * 100 / (time.perf_counter() - t0)
+    except Exception:
+        pass
+
     # device-true time via a short profiler capture (read with the in-repo
     # TensorBoard-free xplane parser) — separates the program's cost from
     # shared-host dispatch overhead
@@ -158,6 +186,10 @@ def main():
             "batch8_actions_per_sec": (
                 round(batch8_actions_per_sec, 1)
                 if batch8_actions_per_sec else None
+            ),
+            "multitask8_actions_per_sec": (
+                round(multitask8_actions_per_sec, 1)
+                if multitask8_actions_per_sec else None
             ),
             "device": str(jax.devices()[0]),
         },

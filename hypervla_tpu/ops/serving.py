@@ -50,8 +50,8 @@ def make_serving_step(
     def init_history():
         return jnp.zeros((horizon, horizon, action_dim), jnp.float32)
 
-    @jax.jit
-    def step_fn(base_params, frame, token_embedding, history, step_idx, rng):
+    def _single_step(base_params, frame, token_embedding, history, step_idx,
+                     rng):
         # ---- preprocessing (device) ----
         img = preprocess.resize_image(frame, (image_size, image_size))
         if crop:
@@ -104,4 +104,49 @@ def make_serving_step(
         )
         return action, history
 
+    step_fn = jax.jit(_single_step)
+    step_fn._single = _single_step  # reused by the multi-task wrapper
     return step_fn, init_history
+
+
+def make_multitask_serving_step(model, unnorm_stats: dict, **kwargs):
+    """Batched serving of N DIFFERENT tasks per tick in one XLA program.
+
+    vmaps the fused single-task step over the task axis — but only over the
+    GENERATED parameter leaves; shared blocks (the 86M-param DINOv2 trunk)
+    stay unbatched and are read once per tick regardless of N. Per-task
+    tiny-policy matmuls become one batched gemm: the framework's signature
+    per-sample-weights pattern applied to serving.
+
+    Returns (step_fn, init_history, stack_task_params):
+      step_fn(stacked_params, frames[N,...], token_embeddings[N,...],
+              histories[N,...], step_idx[N], rngs[N]) ->
+              (actions[N, action_dim], new_histories)
+      stack_task_params([params_task0, params_task1, ...]) stacks generated
+      leaves on a new leading axis and keeps shared leaves from task 0.
+    """
+    single, init_history = make_serving_step(model, unnorm_stats, **kwargs)
+    generation_flag = model.hypernet.base_net_metadata["generation_flag"]
+    params_axes = jax.tree_util.tree_map(
+        lambda generated: 0 if generated else None, generation_flag
+    )
+
+    step_fn = jax.jit(
+        jax.vmap(single._single, in_axes=(params_axes, 0, 0, 0, 0, 0))
+    )
+
+    def stack_task_params(per_task_params):
+        import flax.core
+
+        per_task_params = [
+            flax.core.unfreeze(p) for p in per_task_params
+        ]
+        return jax.tree_util.tree_map(
+            lambda generated, *leaves: (
+                jnp.stack(leaves) if generated else leaves[0]
+            ),
+            generation_flag,
+            *per_task_params,
+        )
+
+    return step_fn, init_history, stack_task_params

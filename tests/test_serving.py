@@ -103,3 +103,71 @@ def test_inference_wrapper_fused_matches_host_path():
         raw_f, act_f, _, _, _ = fused.step(frame)
         np.testing.assert_allclose(raw_f, raw_h, atol=1e-4)
         np.testing.assert_allclose(act_f, act_h, atol=1e-4)
+
+
+def test_multitask_serving_matches_single_task():
+    """N different tasks served in one vmapped program must produce the
+    same actions as N single-task steps (shared trunk unbatched)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hypervla_tpu.flagship import build_flagship, make_flagship_batch
+    from hypervla_tpu.ops.serving import (
+        make_multitask_serving_step,
+        make_serving_step,
+    )
+
+    model, _ = build_flagship(tiny=True)
+    stats = {"mean": np.zeros(7), "std": np.ones(7)}
+
+    # two different instructions -> two different generated policies
+    per_task_params = []
+    token_embeddings = []
+    for seed in (0, 1):
+        batch = make_flagship_batch(
+            batch_size=1, instr_len=8, action_horizon=2,
+            initial_patch_dim=32, seed=seed,
+        )
+        instr = {
+            "language_instruction": batch["task"]["language_instruction"]
+        }
+        base_params, _, _ = model.create_tasks(
+            instruction_dict=instr, initial_state=batch["initial_state"]
+        )
+        per_task_params.append(base_params)
+        token_embeddings.append(
+            jnp.asarray(
+                batch["task"]["language_instruction"]["token_embedding"]
+            )
+        )
+
+    single, init_history = make_serving_step(
+        model, stats, image_size=224, crop=False, ensemble=False
+    )
+    multi, multi_init, stack = make_multitask_serving_step(
+        model, stats, image_size=224, crop=False, ensemble=False
+    )
+
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(
+        rng.randint(0, 255, (2, 224, 224, 3)).astype(np.uint8)
+    )
+    rngs = jax.random.split(jax.random.PRNGKey(0), 2)
+    histories = jnp.stack([init_history()] * 2)
+    step_idx = jnp.zeros(2, jnp.int32)
+
+    stacked = stack(per_task_params)
+    actions_multi, _ = multi(
+        stacked, frames, jnp.concatenate(token_embeddings), histories,
+        step_idx, rngs,
+    )
+
+    for t in range(2):
+        action_single, _ = single(
+            per_task_params[t], frames[t], token_embeddings[t],
+            init_history(), jnp.int32(0), rngs[t],
+        )
+        np.testing.assert_allclose(
+            np.asarray(actions_multi[t]), np.asarray(action_single),
+            atol=1e-5,
+        )
