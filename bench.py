@@ -163,6 +163,8 @@ def main():
     except Exception:
         pass
 
+    from hypervla_tpu.models.encoders.pretrained import weights_mode
+
     actions_per_sec = 1.0 / p50
     result = {
         "metric": "closed-loop actions/sec/chip p50 (generated base-net "
@@ -170,6 +172,7 @@ def main():
         "value": round(actions_per_sec, 2),
         "unit": "actions/s",
         "vs_baseline": round(actions_per_sec / 1000.0, 4),
+        "weights": weights_mode("dinov2"),
         "aux": {
             "per_step_ms_p50": round(1000.0 * p50, 3),
             "per_step_ms_p90": round(1000.0 * p90, 3),

@@ -14,6 +14,45 @@ import numpy as np
 MAX_EPISODE_STEPS = 520
 EPISODES_PER_TASK = 50
 
+# reference default location of the libero_90 split pickle
+# (/root/reference/data/libero/evaluate.py:94)
+DEFAULT_SPLIT_FILE = "octo/domains/LIBERO/task_split.pkl"
+
+
+def resolve_task_ids(
+    suite,
+    benchmark_name: str,
+    split=None,
+    split_file: str = DEFAULT_SPLIT_FILE,
+    model_path: str = "",
+    task_ids=None,
+):
+    """Task selection incl. the libero_90 train/test split protocol.
+
+    Parity: /root/reference/data/libero/evaluate.py:92-104. The split pickle
+    holds (train_task_names, test_task_names); each name carries a 10-char
+    demo-file suffix that is stripped before lookup in the suite's task-name
+    list. split='single_task' selects the one task named by the third path
+    component of the fine-tune directory (the reference's finetune-dir
+    naming convention). Any other suite, or split=None, runs every task.
+    Explicit task_ids always win (raw mechanism, kept for scripting).
+    """
+    if task_ids is not None:
+        return list(task_ids)
+    n_tasks = suite.n_tasks
+    if benchmark_name == "libero_90" and split is not None:
+        names = [suite.get_task(i).name for i in range(n_tasks)]
+        if split == "single_task":
+            task_name = model_path.split("/")[2]
+            return [names.index(task_name)]
+        import pickle
+
+        with open(split_file, "rb") as f:
+            train_names, test_names = pickle.load(f)
+        chosen = train_names if "train" in split else test_names
+        return [names.index(name[:-10]) for name in chosen]
+    return list(range(n_tasks))
+
 
 def evaluate(
     policy,
@@ -24,6 +63,9 @@ def evaluate(
     recompute: bool = False,
     num_episodes: int = EPISODES_PER_TASK,
     task_ids=None,
+    split=None,
+    split_file: str = DEFAULT_SPLIT_FILE,
+    model_path: str = "",
 ):
     from libero.libero import benchmark, get_libero_path
     from libero.libero.envs import OffScreenRenderEnv
@@ -37,7 +79,10 @@ def evaluate(
 
     benchmark_dict = benchmark.get_benchmark_dict()
     suite = benchmark_dict[benchmark_name]()
-    task_ids = task_ids if task_ids is not None else range(suite.n_tasks)
+    task_ids = resolve_task_ids(
+        suite, benchmark_name, split=split, split_file=split_file,
+        model_path=model_path, task_ids=task_ids,
+    )
 
     for task_id in task_ids:
         task = suite.get_task(task_id)
@@ -98,6 +143,11 @@ def main():
     parser.add_argument("--recompute", action="store_true")
     parser.add_argument("--EMA", type=float, default=0.999)
     parser.add_argument("--policy_server", type=str, default=None)
+    parser.add_argument("--split", type=str, default="train",
+                        help="libero_90 split: train / test / single_task "
+                             "(only consulted for the libero_90 suite; "
+                             "reference default 'train')")
+    parser.add_argument("--split_file", type=str, default=DEFAULT_SPLIT_FILE)
     args = parser.parse_args()
 
     for seed in [int(s) for s in args.seeds.split("+")]:
@@ -128,6 +178,9 @@ def main():
             seed=seed,
             eval_path=f"eval_results/libero/{seed}",
             recompute=args.recompute,
+            split=args.split,
+            split_file=args.split_file,
+            model_path=args.model_path,
         )
 
 

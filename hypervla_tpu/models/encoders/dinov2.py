@@ -282,13 +282,20 @@ class _SelfOutput(nn.Module):
 
 class _LayerScale(nn.Module):
     config: DINOv2Config
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         lambda1 = self.param(
             "lambda1", nn.initializers.ones, (self.config.hidden_size,)
         )
-        return (self.config.layerscale_value * lambda1) * x
+        # cast the (fp32) scale to the compute dtype BEFORE multiplying:
+        # otherwise promotion silently upcasts the whole residual stream to
+        # fp32 from layer 0 on, doubling the VPU/HBM traffic of every
+        # LayerNorm and residual add in a bf16 trunk (the round-2 profile's
+        # "12 x 23us fp32 LN fusions")
+        scale = (self.config.layerscale_value * lambda1).astype(self.dtype)
+        return scale * x
 
 
 class _MLP(nn.Module):
@@ -349,7 +356,9 @@ class _Layer(nn.Module):
             c, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable, name="attention"
         )(normed, output_attentions=output_attentions)
-        attn = _LayerScale(c, name="layer_scale1")(attn_outputs[0])
+        attn = _LayerScale(c, dtype=self.dtype, name="layer_scale1")(
+            attn_outputs[0]
+        )
         hidden_states = attn + hidden_states
 
         y = _layer_norm(c, self.dtype, self.fused_ln, "norm2")(hidden_states)
@@ -357,7 +366,7 @@ class _Layer(nn.Module):
             y = _SwiGLUFFN(c, dtype=self.dtype, name="mlp")(y)
         else:
             y = _MLP(c, dtype=self.dtype, name="mlp")(y)
-        y = _LayerScale(c, name="layer_scale2")(y)
+        y = _LayerScale(c, dtype=self.dtype, name="layer_scale2")(y)
         return (y + hidden_states,) + attn_outputs[1:]
 
 

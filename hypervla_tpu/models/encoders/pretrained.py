@@ -17,6 +17,15 @@ from pathlib import Path
 
 import numpy as np
 
+# Which encoders actually received pretrained weights in this process —
+# consumed by bench.py / the flagship builder so BENCH_r*.json and logs are
+# self-describing about random-vs-real weights.
+LOADED_WEIGHTS = {}
+
+
+def weights_mode(name: str = "dinov2") -> str:
+    return "pretrained" if LOADED_WEIGHTS.get(name) else "random"
+
 
 def _candidate_dirs():
     dirs = []
@@ -65,6 +74,7 @@ def load_dinov2_weights(params, name: str = "dinov2-base") -> bool:
                 f"No pretrained weights for {name} found (set "
                 "HYPERVLA_PRETRAINED_DIR); keeping random init."
             )
+            LOADED_WEIGHTS["dinov2"] = False
             return False
         weights = hf
     else:
@@ -72,6 +82,7 @@ def load_dinov2_weights(params, name: str = "dinov2-base") -> bool:
     replaced = _find_and_replace(params, "image_encoder", weights)
     assert replaced, "param tree has no image_encoder subtree"
     logging.info(f"Loaded pretrained DINOv2 weights for {name}.")
+    LOADED_WEIGHTS["dinov2"] = True
     return True
 
 
@@ -85,6 +96,7 @@ def load_clip_weights(params, name: str = "clip-vit-base-patch16") -> bool:
     weights = _load_msgpack(path)
     replaced = _find_and_replace(params, "image_encoder", weights)
     assert replaced, "param tree has no image_encoder subtree"
+    LOADED_WEIGHTS["clip"] = True
     return True
 
 

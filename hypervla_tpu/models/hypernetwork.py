@@ -143,8 +143,13 @@ class HyperNetwork(nn.Module):
         share_tf = hk.get("share_TF_output_head", False)
         entries = []  # (flat_name, token_idx, dim, generated, head_name)
 
+        name_table = self.base_net_metadata.get("flat_name")
+
         def _collect(path, token_idx):
-            flat_name = "_".join(p.key for p in path)
+            if name_table is not None:
+                flat_name = _leaf_lookup(name_table, path)
+            else:
+                flat_name = "_".join(p.key for p in path)
             dim = _leaf_lookup(self.base_net_metadata["param_dim"], path)
             gen = _leaf_lookup(self.base_net_metadata["generation_flag"], path)
             entries.append(
@@ -333,8 +338,13 @@ class HyperNetwork(nn.Module):
                     flat_blocks[name] = shared
                     shared_names.add(name)
 
+        name_table = self.base_net_metadata.get("flat_name")
+
         def _rebuild(path, shape):
-            flat_name = "_".join(p.key for p in path)
+            if name_table is not None:
+                flat_name = _leaf_lookup(name_table, path)
+            else:
+                flat_name = "_".join(p.key for p in path)
             if flat_name in shared_names:
                 return flat_blocks[flat_name].reshape(*tuple(shape))
             return flat_blocks[flat_name].reshape(batch_size, *tuple(shape))

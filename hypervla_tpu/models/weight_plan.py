@@ -206,6 +206,12 @@ def init_base_net(
 
         load_clip_weights(init_base_params)
 
+    # Canonical flat name per block — the single source for how hypernet
+    # param leaves are named (output heads, shared params, optimizer labels).
+    flat_name = jax.tree_util.tree_map_with_path(
+        lambda path, _: "_".join(p.key for p in path), base_param_shapes
+    )
+
     metadata = {
         "token_index_dict": token_index_dict,
         "block_num": index,
@@ -215,6 +221,15 @@ def init_base_net(
         "generation_flag": generation_flag,
         # tuple (not ndarray): metadata must stay hashable/==-comparable
         "layer_token_mask": tuple(bool(x) for x in layer_token_mask),
+        "flat_name": flat_name,
+        # where the shared pretrained image-encoder subtree sits in the
+        # base-net param tree (None when there is no pretrained encoder);
+        # consumers (delta-decay) walk this instead of constructing names
+        "pretrained_block_path": (
+            ("encoder", "image_encoder")
+            if encoder_type in ("DINOv2", "CLIP")
+            else None
+        ),
     }
 
     # ----------------------------- output heads ------------------------------

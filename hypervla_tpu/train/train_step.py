@@ -61,6 +61,25 @@ def make_train_step(
 
     generation_flag = model.hypernet.base_net_metadata["generation_flag"]
 
+    # Delta-decay name table, derived from the WeightPlan: the plan records
+    # both the canonical flat name of every base-net block and where the
+    # shared pretrained image-encoder subtree sits, so each pretrained leaf
+    # maps to its hypernet shared-param leaf without constructing name
+    # strings here (VERDICT r2 item 9).
+    delta_decay_names = None
+    if pretrained_params is not None:
+        md = model.hypernet.base_net_metadata
+        block_path = md.get("pretrained_block_path")
+        if block_path is None:
+            raise ValueError(
+                "pretrained_params given but the WeightPlan has no "
+                "pretrained image-encoder block (encoder_type must be "
+                "DINOv2 or CLIP for delta-decay)"
+            )
+        delta_decay_names = md["flat_name"]
+        for key in block_path:
+            delta_decay_names = delta_decay_names[key]
+
     # device-side augmentation: when dataset_kwargs.device_augment is set, the
     # host pipeline only decodes + resizes (cheap) and the full augmentation
     # chain runs here, fused into the step's XLA program (frees the host CPU —
@@ -251,8 +270,10 @@ def make_train_step(
             ]
 
             def delta_change_decay(path, p):
-                name = "encoder_image_encoder_" + "_".join(x.key for x in path)
-                updates[name] = updates[name] + coefficient * p.ravel()
+                names = delta_decay_names
+                for x in path:
+                    names = names[x.key]
+                updates[names] = updates[names] + coefficient * p.ravel()
 
             jax.tree_util.tree_map_with_path(
                 delta_change_decay, pretrained_params

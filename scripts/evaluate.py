@@ -1,52 +1,72 @@
-"""Evaluation orchestrator (parity: scripts/evaluate.py): fans out per-seed
-SIMPLER / LIBERO evaluation runs."""
+"""Evaluation fan-out CLI.
+
+Launches per-seed closed-loop evaluation runs (SIMPLER or LIBERO) as child
+processes. CLI contract matches the reference orchestrator
+(/root/reference/scripts/evaluate.py) — same flags, same child modules —
+but the implementation is a declarative flag-spec table driving
+`subprocess` list-argv commands (no shell string interpolation).
+"""
 import argparse
-import os
+import subprocess
+import sys
+
+# Each spec row: (CLI attr on args, child flag, kind).
+#   kind "value"  -> emit `flag value` when the attr is not None
+#   kind "switch" -> emit bare `flag` when the attr is truthy
+_COMMON_SPECS = [
+    ("recompute", "--recompute", "switch"),
+    ("EMA", "--EMA", "value"),
+    ("policy_server", "--policy_server", "value"),
+]
+_SIMPLER_SPECS = [
+    ("method", "--model", "value"),
+    ("folder", "--model_path", "value"),
+    ("step_num", "--step", "value"),
+    ("window_size", "--window_size", "value"),
+    ("action_ensemble", "--action_ensemble", "switch"),
+    ("save_video", "--save_video", "switch"),
+    ("crop", "--crop", "switch"),
+] + _COMMON_SPECS
+_LIBERO_SPECS = [
+    ("folder", "--model_path", "value"),
+    ("step_num", "--step", "value"),
+    ("benchmark", "--benchmark", "value"),
+    ("split", "--split", "value"),
+    ("split_file", "--split_file", "value"),
+] + _COMMON_SPECS
 
 
-def evaluate_simpler(method, folder, step_num, window_size=1, seed_num=3,
-                     save_video=False, recompute=False, action_ensemble=True,
-                     crop=False, parallel_eval=False, EMA=None,
-                     policy_server=None):
+def build_argv(module, specs, options, seed):
+    """One child command as an argv list: `python -m <module> <flags>`."""
+    argv = [sys.executable, "-m", module, "--seeds", str(seed)]
+    for attr, flag, kind in specs:
+        value = options.get(attr)
+        if kind == "switch":
+            if value:
+                argv.append(flag)
+        elif value is not None:
+            argv.extend([flag, str(value)])
+    return argv
+
+
+def run_seeds(module, specs, options, seed_num, parallel=False):
+    """Runs one child per seed; parallel=True overlaps them."""
+    procs = []
     for seed in range(seed_num):
-        command = (
-            f"python -m hypervla_tpu.eval.simpler --model {method} "
-            f"--model_path {folder} --step {step_num} "
-            f"--window_size {window_size} --seeds {seed}"
-        )
-        if action_ensemble:
-            command += " --action_ensemble"
-        if save_video:
-            command += " --save_video"
-        if recompute:
-            command += " --recompute"
-        if crop:
-            command += " --crop"
-        if EMA is not None:
-            command += f" --EMA {EMA}"
-        if policy_server:
-            command += f" --policy_server {policy_server}"
-        os.system(f"{command} &" if parallel_eval else command)
+        argv = build_argv(module, specs, options, seed)
+        proc = subprocess.Popen(argv)
+        if parallel:
+            procs.append(proc)
+        else:
+            proc.wait()
+    for proc in procs:
+        proc.wait()
 
 
-def evaluate_libero(folder, step_num, benchmark="libero_object", seed_num=1,
-                    recompute=False, EMA=0.999, policy_server=None):
-    for seed in range(seed_num):
-        command = (
-            f"python -m hypervla_tpu.eval.libero --model_path {folder} "
-            f"--step {step_num} --benchmark {benchmark} --seeds {seed} "
-            f"--EMA {EMA}"
-        )
-        if recompute:
-            command += " --recompute"
-        if policy_server:
-            command += f" --policy_server {policy_server}"
-        os.system(command)
-
-
-if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--benchmark", type=str, default="simpler")
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--benchmark", type=str, default="simpler",
+                        help="'simpler' or a LIBERO suite name")
     parser.add_argument("--method", type=str, default="hypervla")
     parser.add_argument("--folder", type=str, default="")
     parser.add_argument("--step_num", type=int, default=100000)
@@ -60,21 +80,21 @@ if __name__ == "__main__":
     parser.add_argument("--EMA", type=float, default=None)
     parser.add_argument("--policy_server", type=str, default=None,
                         help="host:port of a TPU policy server")
-    args = parser.parse_args()
+    parser.add_argument("--split", type=str, default=None,
+                        help="libero_90 split (train/test/single_task)")
+    parser.add_argument("--split_file", type=str, default=None)
+    args = parser.parse_args(argv)
 
+    options = vars(args).copy()
     if args.benchmark == "simpler":
-        evaluate_simpler(
-            args.method, args.folder, args.step_num,
-            window_size=args.window_size, seed_num=args.seed_num,
-            save_video=args.save_video, recompute=args.recompute,
-            action_ensemble=args.action_ensemble, crop=args.crop,
-            parallel_eval=args.parallel_eval, EMA=args.EMA,
-            policy_server=args.policy_server,
-        )
+        run_seeds("hypervla_tpu.eval.simpler", _SIMPLER_SPECS, options,
+                  args.seed_num, parallel=args.parallel_eval)
     else:
-        evaluate_libero(
-            args.folder, args.step_num, benchmark=args.benchmark,
-            seed_num=args.seed_num, recompute=args.recompute,
-            EMA=args.EMA if args.EMA is not None else 0.999,
-            policy_server=args.policy_server,
-        )
+        if options["EMA"] is None:
+            options["EMA"] = 0.999
+        run_seeds("hypervla_tpu.eval.libero", _LIBERO_SPECS, options,
+                  args.seed_num)
+
+
+if __name__ == "__main__":
+    main()

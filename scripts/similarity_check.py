@@ -56,6 +56,7 @@ FLAGGED = [
     ("hypervla_tpu/data/traj_transforms.py", "octo/data/traj_transforms.py"),
     ("hypervla_tpu/models/block_transformer.py", "octo/model/components/block_transformer.py"),
     ("hypervla_tpu/data/data_utils.py", "octo/data/utils/data_utils.py"),
+    ("scripts/evaluate.py", "scripts/evaluate.py"),
 ]
 
 if __name__ == "__main__":

@@ -159,3 +159,39 @@ def test_policy_server_roundtrip(tiny_policy):
     assert reply["action"].shape == (7,)
     assert reply["model_time"] >= 0
     client.close()
+
+
+def test_evaluate_orchestrator_argv():
+    """The fan-out CLI builds correct child argv lists (no shell strings)."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        ev = importlib.import_module("evaluate")
+    finally:
+        sys.path.pop(0)
+
+    opts = dict(method="hypervla", folder="/ckpt", step_num=5000,
+                window_size=1, action_ensemble=True, save_video=False,
+                crop=True, recompute=False, EMA=0.999, policy_server=None)
+    argv = ev.build_argv("hypervla_tpu.eval.simpler", ev._SIMPLER_SPECS,
+                         opts, seed=2)
+    assert argv[:3] == [sys.executable, "-m", "hypervla_tpu.eval.simpler"]
+    assert argv[3:5] == ["--seeds", "2"]
+    joined = " ".join(argv)
+    assert "--model hypervla" in joined
+    assert "--model_path /ckpt" in joined
+    assert "--step 5000" in joined
+    assert "--action_ensemble" in joined and "--crop" in joined
+    assert "--save_video" not in joined and "--recompute" not in joined
+    assert "--EMA 0.999" in joined
+    assert "--policy_server" not in joined
+
+    lopts = dict(folder="/ckpt", step_num=100, benchmark="libero_object",
+                 recompute=True, EMA=0.999, policy_server="h:1")
+    largv = ev.build_argv("hypervla_tpu.eval.libero", ev._LIBERO_SPECS,
+                          lopts, seed=0)
+    ljoined = " ".join(largv)
+    assert "--benchmark libero_object" in ljoined
+    assert "--recompute" in ljoined and "--policy_server h:1" in ljoined

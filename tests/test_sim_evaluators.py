@@ -222,3 +222,118 @@ def test_simpler_save_attention_maps(tmp_path, monkeypatch):
     with open(pkls[0], "rb") as f:
         maps = pickle.load(f)
     assert maps.shape[1:] == (4, 17, 17)
+
+
+def _mock_suite_90(names):
+    class MockTask:
+        def __init__(self, name):
+            self.name = name
+            self.language = f"do {name}"
+            self.problem_folder = "f"
+            self.bddl_file = f"{name}.bddl"
+
+    class MockSuite:
+        n_tasks = len(names)
+
+        def get_task(self, i):
+            return MockTask(names[i])
+
+        def get_task_init_states(self, i):
+            return np.zeros((3, 5))
+
+    return MockSuite
+
+
+def test_libero_90_split_protocol(tmp_path):
+    """The libero_90 train/test/single_task split semantics
+    (parity: /root/reference/data/libero/evaluate.py:92-104)."""
+    import pickle
+
+    from hypervla_tpu.eval.libero import resolve_task_ids
+
+    names = ["KITCHEN_open_door", "LIVING_pick_mug", "STUDY_close_book"]
+    suite = _mock_suite_90(names)()
+    # split-pickle names carry a 10-char demo suffix, stripped on lookup
+    split_file = tmp_path / "task_split.pkl"
+    with open(split_file, "wb") as f:
+        pickle.dump((
+            ["STUDY_close_book_demo.hdf5", "KITCHEN_open_door_demo.hdf5"],
+            ["LIVING_pick_mug_demo.hdf5"],
+        ), f)
+
+    assert resolve_task_ids(
+        suite, "libero_90", split="train", split_file=str(split_file)
+    ) == [2, 0]
+    assert resolve_task_ids(
+        suite, "libero_90", split="test", split_file=str(split_file)
+    ) == [1]
+    # single_task: task name from the finetune dir's third path component
+    assert resolve_task_ids(
+        suite, "libero_90", split="single_task",
+        model_path="finetune_saves/libero_90/LIVING_pick_mug/seed_0",
+    ) == [1]
+    # other suites ignore the split entirely
+    assert resolve_task_ids(suite, "libero_object", split="train") == [0, 1, 2]
+    # explicit task_ids always win
+    assert resolve_task_ids(suite, "libero_90", split="train",
+                            task_ids=[2]) == [2]
+
+
+def test_libero_evaluate_honors_split(tmp_path, monkeypatch):
+    """End-to-end through evaluate(): only split tasks run."""
+    import pickle
+
+    from hypervla_tpu.eval import libero as libero_driver
+
+    names = ["task_a", "task_b", "task_c"]
+    MockSuite = _mock_suite_90(names)
+
+    class MockEnv:
+        def __init__(self, **kwargs):
+            self.t = 0
+
+        def reset(self):
+            self.t = 0
+
+        def seed(self, s):
+            pass
+
+        def set_init_state(self, s):
+            return {"agentview_image": np.zeros((64, 64, 3), np.uint8)}
+
+        def step(self, action):
+            self.t += 1
+            return (
+                {"agentview_image": np.zeros((64, 64, 3), np.uint8)},
+                0.0, self.t >= 2, {},
+            )
+
+        def close(self):
+            pass
+
+    libero_pkg = types.ModuleType("libero")
+    libero_sub = types.ModuleType("libero.libero")
+    libero_sub.benchmark = types.SimpleNamespace(
+        get_benchmark_dict=lambda: {"libero_90": MockSuite}
+    )
+    libero_sub.get_libero_path = lambda name: "/tmp"
+    libero_envs = types.ModuleType("libero.libero.envs")
+    libero_envs.OffScreenRenderEnv = MockEnv
+    monkeypatch.setitem(sys.modules, "libero", libero_pkg)
+    monkeypatch.setitem(sys.modules, "libero.libero", libero_sub)
+    monkeypatch.setitem(sys.modules, "libero.libero.envs", libero_envs)
+
+    split_file = tmp_path / "task_split.pkl"
+    with open(split_file, "wb") as f:
+        pickle.dump((["task_b_demo.hdf5"], ["task_c_demo.hdf5"]), f)
+
+    results = libero_driver.evaluate(
+        _MockPolicy(),
+        text_encode=lambda s: {"instruction": s},
+        benchmark_name="libero_90",
+        eval_path=str(tmp_path),
+        num_episodes=1,
+        split="train",
+        split_file=str(split_file),
+    )
+    assert set(results) == {"task_b"}
