@@ -8,7 +8,7 @@ against this framework's restructured implementations.
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 @pytest.fixture(scope="module", autouse=True)

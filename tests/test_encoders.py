@@ -13,7 +13,7 @@ from hypervla_tpu.models.encoders.dinov2 import (
 from hypervla_tpu.models.encoders.t5 import T5Config, T5EncoderModel, t5_config
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 TINY_DINO = DINOv2Config(
     hidden_size=32, num_hidden_layers=2, num_attention_heads=2, patch_size=14,

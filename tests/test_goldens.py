@@ -17,7 +17,7 @@ from hypervla_tpu.models.hypervla import HyperVLA
 
 from helpers import make_example_batch
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens",
                            "tiny_smallstem.json")

@@ -8,7 +8,7 @@ import jax
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 transformers = pytest.importorskip("transformers")
 

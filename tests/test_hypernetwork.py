@@ -11,7 +11,7 @@ from hypervla_tpu.models.weight_plan import InitOptions, init_base_net
 
 from helpers import make_example_batch
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.heavy]
 
 
 @pytest.fixture(scope="module")

@@ -12,7 +12,7 @@ from hypervla_tpu.models.block_transformer import (
     TimestepGroup,
 )
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 TRANSFORMER_KWARGS = dict(
     num_layers=1, mlp_dim=32, num_attention_heads=2,

@@ -7,7 +7,7 @@ import pytest
 from hypervla_tpu.data.text_processing import FallbackTokenizer
 from hypervla_tpu.models.octo_model import OctoModel
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 
 class _TinyTextProcessor:

@@ -13,7 +13,7 @@ from hypervla_tpu.parallel.mesh import (
     shard_batch,
 )
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.dist]
 
 
 def test_create_mesh_shapes():

@@ -18,7 +18,7 @@ import jax
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.parity]
 
 GOLDEN_DIR = os.path.join(
     os.path.dirname(__file__), "goldens", "reference_parity"

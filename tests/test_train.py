@@ -18,7 +18,7 @@ from hypervla_tpu.train.train_step import make_train_step
 
 from helpers import make_example_batch
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.heavy]
 
 
 def test_lr_schedules():
