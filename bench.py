@@ -43,6 +43,11 @@ def main():
         instruction_dict=instruction_dict,
         initial_state=example["initial_state"],
     )
+    from hypervla_tpu.ops.serving import prepare_serving_params
+
+    # once per episode: bake the pos-grid interpolation for 224px and store
+    # the shared trunk in bf16 (the compute dtype) — see prepare_serving_params
+    base_params = prepare_serving_params(model, base_params, image_size=224)
     base_params = jax.device_put(base_params)
     jax.block_until_ready(jax.tree_util.tree_leaves(base_params)[0])
     gen_time_first = time.perf_counter() - gen_t0

@@ -155,6 +155,13 @@ class InferenceWrapper:
         self.base_params, self.task, _ = self.model.create_tasks(
             instruction_dict=instruction_dict, initial_state=initial_state
         )
+        from hypervla_tpu.ops.serving import prepare_serving_params
+
+        # once per episode: bake the DINOv2 pos-grid interpolation for this
+        # resolution (exact) and, on a bf16 trunk, store shared weights bf16
+        self.base_params = prepare_serving_params(
+            self.model, self.base_params, image_size=self.image_size
+        )
         self.instruction_dict = instruction_dict
         if self.fused_serving:
             if self._serving_step is None:

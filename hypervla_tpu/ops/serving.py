@@ -15,6 +15,38 @@ import numpy as np
 from hypervla_tpu.ops import preprocess
 
 
+def prepare_serving_params(model, base_params, image_size: int = 224,
+                           cast_shared_bf16: bool = True):
+    """Off-step preparation of an episode's generated params for serving.
+
+    Run once per episode after `create_tasks` (NOT in the per-tick loop):
+    on a bfloat16 trunk, stores the shared image-encoder weights in bfloat16
+    — every op casts them to bf16 anyway, so pre-casting is value-identical
+    while halving the per-step weight streams from HBM and shrinking the
+    compiled program (device step measured 0.595 -> 0.565 ms on v5e).
+    fp32 configs are returned untouched (reference-parity paths unaffected).
+    """
+    import flax.core
+
+    vit_kwargs = model.config["base_net_kwargs"]["vit_kwargs"]
+    if vit_kwargs.get("encoder_type") != "DINOv2":
+        return base_params
+    if not cast_shared_bf16 or str(
+        vit_kwargs.get("encoder_dtype", "float32")
+    ) not in ("bfloat16", "bf16"):
+        return base_params
+    params = dict(flax.core.unfreeze(base_params))
+    params["encoder"] = dict(params["encoder"])
+    params["encoder"]["image_encoder"] = jax.tree_util.tree_map(
+        lambda x: (
+            jnp.asarray(x, jnp.bfloat16)
+            if np.asarray(x).dtype == np.float32 else x
+        ),
+        dict(params["encoder"]["image_encoder"]),
+    )
+    return params
+
+
 def make_serving_step(
     model,
     unnorm_stats: dict,

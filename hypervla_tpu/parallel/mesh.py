@@ -44,11 +44,29 @@ def create_mesh(
     shape = (data, fsdp) + ((tp,) if tp > 1 else ())
     axes = ("data", "fsdp") + (("model",) if tp > 1 else ())
     if dcn_data and dcn_data > 1:
-        mesh_devices = mesh_utils.create_hybrid_device_mesh(
-            (data // dcn_data,) + shape[1:],
-            dcn_mesh_shape=(dcn_data,) + (1,) * (len(shape) - 1),
-            devices=devices,
-        )
+        per_slice_shape = (data // dcn_data,) + shape[1:]
+        try:
+            mesh_devices = mesh_utils.create_hybrid_device_mesh(
+                per_slice_shape,
+                dcn_mesh_shape=(dcn_data,) + (1,) * (len(shape) - 1),
+                devices=devices,
+            )
+        except ValueError:
+            # virtual/CPU devices carry no slice_index attribute: emulate the
+            # slice grouping with contiguous device blocks. The LOGICAL mesh
+            # (and therefore the GSPMD program and its collectives) is
+            # identical; only the physical slice assignment differs, which a
+            # virtual mesh does not have anyway.
+            per_slice = n // dcn_data
+            blocks = [
+                mesh_utils.create_device_mesh(
+                    per_slice_shape,
+                    devices=devices[i * per_slice:(i + 1) * per_slice],
+                )
+                for i in range(dcn_data)
+            ]
+            mesh_devices = np.concatenate(blocks, axis=0)
+        mesh_devices = mesh_devices.reshape(shape)
     else:
         mesh_devices = mesh_utils.create_device_mesh(shape, devices=devices)
     return Mesh(mesh_devices, axis_names=axes)

@@ -147,6 +147,139 @@ def write_tfrecord_shards(root: str, target_gb: float, shards: int = 8,
     return name
 
 
+def write_mix_fixtures(root: str, n: int, traj_len: int = 24, hw: int = 256):
+    """Writes n fixture datasets with distinct sizes and gray levels.
+
+    The per-dataset gray level lets the benchmark attribute each interleaved
+    frame back to its source dataset and check the empirical mix
+    distribution against the expected weights."""
+    from PIL import Image
+
+    from hypervla_tpu.data.oxe.fixture_mix import dataset_name
+    from hypervla_tpu.data.sources import NpzTrajectorySource
+
+    rng = np.random.RandomState(0)
+    gray_levels = [int(round(20 + 215 * i / max(n - 1, 1))) for i in range(n)]
+    sizes = []
+    for i in range(n):
+        ds_dir = os.path.join(root, dataset_name(i))
+        os.makedirs(ds_dir, exist_ok=True)
+        frame = np.full((hw, hw, 3), gray_levels[i], np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(frame).save(buf, format="JPEG")
+        frame_bytes = buf.getvalue()
+        episodes = 4 + 2 * (i % 3)  # distinct sizes exercise balance_weights
+        for ep in range(episodes):
+            traj = {
+                "observation": {
+                    "image": np.array([frame_bytes] * traj_len, dtype=object),
+                },
+                "action": (rng.randn(traj_len, 7) * (i + 1)).astype(
+                    np.float32
+                ),
+                "language_instruction": np.array(
+                    [f"task for dataset {i}".encode()] * traj_len,
+                    dtype=object,
+                ),
+            }
+            NpzTrajectorySource.write_trajectory(
+                os.path.join(ds_dir, f"ep_{ep:03d}.npz"), traj
+            )
+        sizes.append(episodes * traj_len)
+    return gray_levels, sizes
+
+
+def run_mix(args):
+    """The named-mix path end to end: registry expansion -> weights +
+    balance -> per-dataset statistics -> weighted interleave [-> trainer]."""
+    from hypervla_tpu.data.dataset import make_interleaved_dataset
+    from hypervla_tpu.data.oxe import make_oxe_dataset_kwargs_and_weights
+    from hypervla_tpu.data.oxe.fixture_mix import register_fixture_mix
+
+    root = args.data_dir or tempfile.mkdtemp(prefix="bench_mix_")
+    n = args.mix
+    gray_levels, sizes = write_mix_fixtures(root, n)
+    mix_name, weights = register_fixture_mix(n)
+
+    kwargs_list, weights = make_oxe_dataset_kwargs_and_weights(
+        mix_name, root, load_camera_views=("primary",)
+    )
+    t0 = time.perf_counter()
+    dataset = make_interleaved_dataset(
+        kwargs_list,
+        weights,
+        train=True,
+        shuffle_buffer_size=500,
+        balance_weights=True,
+        traj_transform_kwargs=dict(window_size=1, action_horizon=4,
+                                   max_action_dim=7),
+        frame_transform_kwargs=dict(
+            resize_size={"primary": (args.resize, args.resize)}
+        ),
+        batch_size=args.batch_size,
+        seed=0,
+    )
+    build_s = time.perf_counter() - t0
+
+    expected = np.array(weights, np.float64) * np.array(sizes, np.float64)
+    expected /= expected.sum()
+
+    it = iter(dataset)
+    next(it)
+    levels = np.array(gray_levels, np.float64)
+    counts = np.zeros(n)
+    t0 = time.perf_counter()
+    frames = 0
+    for _ in range(args.num_batches):
+        batch = next(it)
+        frames += batch["action"].shape[0]
+        means = batch["observation"]["image_primary"].reshape(
+            batch["action"].shape[0], -1
+        ).mean(axis=1)
+        idx = np.argmin(np.abs(means[:, None] - levels[None, :]), axis=1)
+        np.add.at(counts, idx, 1)
+    dt = time.perf_counter() - t0
+    observed = counts / counts.sum()
+
+    result = {
+        "metric": "OXE named-mix pipeline throughput",
+        "value": round(frames / dt, 1),
+        "unit": "frames/s",
+        "aux": {
+            "mix": mix_name,
+            "datasets": n,
+            "build_s": round(build_s, 2),
+            "expected_mix": [round(float(x), 3) for x in expected],
+            "observed_mix": [round(float(x), 3) for x in observed],
+            "batch_size": args.batch_size,
+        },
+    }
+
+    if args.train_steps:
+        from hypervla_tpu.configs import tiny_test_config
+        from hypervla_tpu.train.trainer import train
+
+        config = tiny_test_config(encoder_type="SmallStem")
+        config["dataset_kwargs"] = {
+            "batch_size": args.batch_size,
+            "shuffle_buffer_size": 100,
+            "tokenizer_max_length": 8,
+            "oxe_mix": mix_name,
+            "data_dir": root,
+            "balance_weights": True,
+            "resize_size": {"primary": (64, 64)},
+        }
+        t0 = time.perf_counter()
+        state = train(config, save_dir=None, num_steps=args.train_steps)
+        train_s = time.perf_counter() - t0
+        assert int(state.step) == args.train_steps
+        result["aux"]["train_steps"] = args.train_steps
+        result["aux"]["train_samples_per_s"] = round(
+            args.train_steps * args.batch_size / train_s, 1
+        )
+    print(json.dumps(result))
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--data_dir", type=str, default=None)
@@ -163,7 +296,16 @@ def main():
     parser.add_argument("--shards", type=int, default=8)
     parser.add_argument("--read_threads", type=int, default=None)
     parser.add_argument("--transform_threads", type=int, default=None)
+    parser.add_argument("--mix", type=int, default=0, metavar="N",
+                        help="run the OXE named-mix path over N fixture "
+                             "datasets (weights+balance+stats+interleave)")
+    parser.add_argument("--train_steps", type=int, default=0,
+                        help="with --mix: also feed the trainer this many "
+                             "steps from the mix (one end-to-end program)")
     args = parser.parse_args()
+
+    if args.mix:
+        return run_mix(args)
 
     from hypervla_tpu.data.dataset import make_interleaved_dataset
 

@@ -16,8 +16,10 @@ CHUNKS = [
     ("fast", 'not slow and not e2e'),
     ("parity", "parity"),
     ("dist", "dist"),
+    ("numerics", "numerics"),
     ("heavy", "heavy"),
-    ("rest", "(slow and not parity and not dist and not heavy) or e2e"),
+    ("rest", "(slow and not parity and not dist and not numerics "
+     "and not heavy) or e2e"),
 ]
 
 

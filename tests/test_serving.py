@@ -171,3 +171,38 @@ def test_multitask_serving_matches_single_task():
             np.asarray(actions_multi[t]), np.asarray(action_single),
             atol=1e-5,
         )
+
+
+def test_prepare_serving_params_preserves_actions():
+    """The once-per-episode param preparation (pos-grid bake; bf16 trunk cast
+    on bf16 configs) leaves a fp32 model's actions bit-identical."""
+    from hypervla_tpu.flagship import build_flagship, make_flagship_batch
+    from hypervla_tpu.models.base_network import BaseNetwork
+    from hypervla_tpu.ops.serving import prepare_serving_params
+
+    model, batch = build_flagship(tiny=True)
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    base_params, tasks, _ = model.create_tasks(
+        instruction_dict={
+            "language_instruction": example["task"]["language_instruction"]
+        },
+        initial_state=example["initial_state"],
+    )
+    rng = jax.random.PRNGKey(0)
+
+    def act(params):
+        return model.base_net.apply(
+            {"params": params},
+            example["observation"]["image_primary"].squeeze(1),
+            example["task"]["language_instruction"]["token_embedding"],
+            example["observation"]["timestep_pad_mask"],
+            rng=rng,
+            rngs={"dropout": rng},
+            train=False,
+            method=BaseNetwork.predict_action,
+        )
+
+    a_ref = np.asarray(act(base_params))
+    prepared = prepare_serving_params(model, base_params, image_size=224)
+    a_prep = np.asarray(act(prepared))
+    np.testing.assert_array_equal(a_ref, a_prep)

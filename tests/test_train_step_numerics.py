@@ -23,7 +23,7 @@ from hypervla_tpu.train.optimizer import create_optimizer, hn_param_type_tree
 from hypervla_tpu.train.train_state import TrainState
 from hypervla_tpu.train.train_step import make_train_step
 
-pytestmark = [pytest.mark.slow, pytest.mark.dist]
+pytestmark = [pytest.mark.slow, pytest.mark.numerics]
 
 
 @pytest.fixture(scope="module")
