@@ -83,20 +83,59 @@ def _hf_init(initializer_range: float):
 class _PatchEmbeddings(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
+    # Patch embedding as space-to-depth + one GEMM instead of nn.Conv.
+    # A stride-14 conv over 3 input channels is pathological on the MXU
+    # (C_in pads 3 -> 128: profiled 24 ms of an 87 ms bs=32 train step,
+    # <1% MFU); the same contraction as [B*patches, 14*14*3] @ [588, H]
+    # keeps the reduction dim dense. Param layout stays nn.Conv-compatible
+    # (projection/{kernel,bias}, kernel (kh, kw, cin, cout)).
+    as_gemm: bool = True
 
     @nn.compact
     def __call__(self, pixel_values):
         c = self.config
-        x = nn.Conv(
-            c.hidden_size,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
-            kernel_init=_hf_init(c.initializer_range),
-            name="projection",
-        )(pixel_values)
-        return x.reshape(x.shape[0], -1, x.shape[-1])
+        if not self.as_gemm:
+            x = nn.Conv(
+                c.hidden_size,
+                kernel_size=(c.patch_size, c.patch_size),
+                strides=(c.patch_size, c.patch_size),
+                padding="VALID",
+                dtype=self.dtype,
+                kernel_init=_hf_init(c.initializer_range),
+                name="projection",
+            )(pixel_values)
+            return x.reshape(x.shape[0], -1, x.shape[-1])
+        p = c.patch_size
+        batch, height, width, cin = pixel_values.shape
+        gh, gw = height // p, width // p
+        x = pixel_values.reshape(batch, gh, p, gw, p, cin)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(batch, gh * gw, p * p * cin)
+        return _PatchProjection(
+            c, in_channels=cin, dtype=self.dtype, name="projection"
+        )(x)
+
+
+class _PatchProjection(nn.Module):
+    """The patch GEMM, scoped so params land at projection/{kernel,bias}
+    with nn.Conv's (kh, kw, cin, cout) kernel layout."""
+
+    config: DINOv2Config
+    in_channels: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches):
+        c = self.config
+        p = c.patch_size
+        kernel = self.param(
+            "kernel", _hf_init(c.initializer_range),
+            (p, p, self.in_channels, c.hidden_size),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (c.hidden_size,))
+        kernel2d = kernel.reshape(p * p * self.in_channels, c.hidden_size)
+        return jnp.dot(
+            patches.astype(self.dtype), kernel2d.astype(self.dtype)
+        ) + bias.astype(self.dtype)
 
 
 class _Embeddings(nn.Module):

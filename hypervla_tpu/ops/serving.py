@@ -47,6 +47,59 @@ def prepare_serving_params(model, base_params, image_size: int = 224,
     return params
 
 
+def pack_generated_params(model, base_params):
+    """Packs all GENERATED param leaves into ONE flat fp32 buffer.
+
+    The serving step's per-call host cost scales with argument-leaf count
+    (~296 for the flagship: ~110 tiny generated leaves + ~186 trunk leaves).
+    The generated leaves total well under 1 MB, so packing them into a single
+    vector and unpacking with STATIC slices inside the jit is device-free in
+    practice while cutting a third of the per-call handles. (Packing the
+    344 MB shared trunk the same way was measured catastrophic — XLA
+    materializes every slice; see PERF.md round-1 negatives — so shared
+    leaves stay as-is.)
+
+    Returns (packed_vec, shared_leaves, unpack_fn); unpack_fn is traceable:
+    unpack_fn(packed_vec, shared_leaves) -> full param tree.
+    """
+    import flax.core
+
+    base_params = flax.core.unfreeze(base_params)
+    flag_tree = model.hypernet.base_net_metadata["generation_flag"]
+    leaves, treedef = jax.tree_util.tree_flatten(base_params)
+    flags = jax.tree_util.tree_leaves(flag_tree)
+    assert len(flags) == len(leaves), "generation_flag/params tree mismatch"
+
+    specs = []  # (generated, shape, size, dtype)
+    for leaf, gen in zip(leaves, flags):
+        leaf = jnp.asarray(leaf)
+        specs.append((bool(gen), leaf.shape, int(np.prod(leaf.shape)),
+                      leaf.dtype))
+    packed = jnp.concatenate([
+        jnp.ravel(leaf).astype(jnp.float32)
+        for leaf, gen in zip(leaves, flags) if gen
+    ])
+    shared = [leaf for leaf, gen in zip(leaves, flags) if not gen]
+
+    def unpack(packed_vec, shared_leaves):
+        out = []
+        offset = 0
+        shared_iter = iter(shared_leaves)
+        for gen, shape, size, dtype in specs:
+            if gen:
+                out.append(
+                    packed_vec[offset:offset + size].reshape(shape).astype(
+                        dtype
+                    )
+                )
+                offset += size
+            else:
+                out.append(next(shared_iter))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return packed, shared, unpack
+
+
 def make_serving_step(
     model,
     unnorm_stats: dict,

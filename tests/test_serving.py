@@ -1,6 +1,7 @@
 """Fused serving-step tests: matches the InferenceWrapper's host-side
 pipeline (unnormalize + ensemble) step for step."""
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -206,3 +207,46 @@ def test_prepare_serving_params_preserves_actions():
     prepared = prepare_serving_params(model, base_params, image_size=224)
     a_prep = np.asarray(act(prepared))
     np.testing.assert_array_equal(a_ref, a_prep)
+
+
+def test_pack_generated_params_roundtrip():
+    """Packing the generated leaves into one buffer and unpacking inside a
+    jit reproduces the exact action outputs with far fewer argument leaves."""
+    from hypervla_tpu.flagship import build_flagship, make_flagship_batch
+    from hypervla_tpu.models.base_network import BaseNetwork
+    from hypervla_tpu.ops.serving import pack_generated_params
+
+    model, batch = build_flagship(tiny=True)
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    base_params, tasks, _ = model.create_tasks(
+        instruction_dict={
+            "language_instruction": example["task"]["language_instruction"]
+        },
+        initial_state=example["initial_state"],
+    )
+    packed, shared, unpack = pack_generated_params(model, base_params)
+    assert packed.ndim == 1 and packed.dtype == jnp.float32
+    n_before = len(jax.tree_util.tree_leaves(base_params))
+    assert 1 + len(shared) < n_before
+
+    rng = jax.random.PRNGKey(0)
+    images = example["observation"]["image_primary"].squeeze(1)
+    emb = example["task"]["language_instruction"]["token_embedding"]
+    mask = example["observation"]["timestep_pad_mask"]
+
+    def act(params):
+        return model.base_net.apply(
+            {"params": params}, images, emb, mask, rng=rng,
+            rngs={"dropout": rng}, train=False,
+            method=BaseNetwork.predict_action,
+        )
+
+    a_ref = np.asarray(jax.jit(act)(base_params))
+
+    @jax.jit
+    def packed_step(packed_vec, shared_leaves):
+        return act(unpack(packed_vec, shared_leaves))
+
+    a_packed = np.asarray(packed_step(packed, shared))
+    # two separately compiled programs: allow fusion-level float variation
+    np.testing.assert_allclose(a_ref, a_packed, rtol=0, atol=2e-6)
