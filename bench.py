@@ -168,6 +168,23 @@ def main():
     except Exception:
         pass
 
+    # warm-start probe: a FRESH process hitting the AOT executable cache the
+    # cold call above just populated — what a robot redeploy actually pays
+    warm_gen_s = None
+    try:
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "scripts.aot_warm_probe"],
+            capture_output=True, text=True, timeout=600,
+        )
+        warm_gen_s = json.loads(out.stdout.strip().splitlines()[-1])[
+            "hypernet_gen_first_call_s"
+        ]
+    except Exception:
+        pass
+
     from hypervla_tpu.models.encoders.pretrained import weights_mode
 
     actions_per_sec = 1.0 / p50
@@ -191,6 +208,7 @@ def main():
                 round(1000.0 / device_ms, 1) if device_ms else None
             ),
             "hypernet_gen_first_call_s": round(gen_time_first, 3),
+            "hypernet_gen_warm_process_s": warm_gen_s,
             "batch8_actions_per_sec": (
                 round(batch8_actions_per_sec, 1)
                 if batch8_actions_per_sec else None

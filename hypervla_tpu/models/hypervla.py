@@ -71,13 +71,16 @@ class HyperVLA:
 
         # the jitted generator is cached on the instance: a fresh closure per
         # call would miss jax's jit cache and re-lower/re-compile the
-        # hypernet EVERY episode (seconds per call in closed-loop eval)
+        # hypernet EVERY episode (seconds per call in closed-loop eval).
+        # Across PROCESSES, the AOT executable cache (utils/aot.py) skips
+        # trace+lower+compile entirely: a warm robot start deserializes the
+        # compiled executable in milliseconds.
         _generate = self.__dict__.get("_generate_jit")
         if _generate is None:
 
             @jax.jit
             def _generate(params, tasks, initial_state):
-                return self.hypernet.apply(
+                (base_params, aux), intermediates = self.hypernet.apply(
                     {"params": params},
                     tasks,
                     train=False,
@@ -85,14 +88,35 @@ class HyperVLA:
                     mutable=True,
                     capture_intermediates=True,
                 )
+                # squeeze the task batch dim INSIDE the program: done on the
+                # host it is ~300 per-leaf eager dispatches (each a tiny
+                # first-call compile — measured ~9 s of warm-start overhead)
+                base_params = jax.tree_util.tree_map(
+                    lambda p: p.squeeze(0), base_params
+                )
+                return (base_params, aux), intermediates
 
+            from hypervla_tpu.utils import aot
+
+            _generate = aot.load_or_compile(
+                "hypernet_generate",
+                _generate,
+                (self.params, tasks, initial_state),
+                context=json.dumps(_jsonable(self.config), sort_keys=True),
+            )
             object.__setattr__(self, "_generate_jit", _generate)
 
+        # params live as numpy on the host after from_config/load_pretrained;
+        # without this once-per-process device_put every episode re-uploads
+        # the full hypernet (~345 MB) — measured 7-13 s through the shared-
+        # chip tunnel vs 57 ms with device-resident weights
+        dev = self.__dict__.get("_params_on_device")
+        if dev is None or dev[0] is not self.params:
+            dev = (self.params, jax.device_put(self.params))
+            object.__setattr__(self, "_params_on_device", dev)
+
         (dict_base_params, _), intermediate_states = _generate(
-            self.params, tasks, initial_state
-        )
-        dict_base_params = jax.tree_util.tree_map(
-            lambda p: p.squeeze(0), dict_base_params
+            dev[1], tasks, initial_state
         )
         return dict_base_params, tasks, intermediate_states
 

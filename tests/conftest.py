@@ -9,6 +9,10 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# keep tests hermetic: no AOT executable cache writes to ~/.cache (the
+# dedicated tests in test_aot.py opt back in with a tmpdir)
+os.environ.setdefault("HYPERVLA_AOT_CACHE", "0")
+
 import jax  # noqa: E402  (must import after env setup)
 
 # The axon TPU plugin ignores the env var; force the platform via config too.
