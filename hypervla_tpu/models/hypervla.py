@@ -190,13 +190,24 @@ class HyperVLA:
                 initial_states=initial_states,
             )
 
+        # keep freshly-initialized leaves ON DEVICE: the bias-init protocol
+        # below overwrites the bulk of them (shared-module weights + output-
+        # head biases) with raveled init_base_params leaves — also device-
+        # resident — so a ~350 MB device->host download here is waste
+        # (measured ~35 s through the shared-chip tunnel). Consumers
+        # device_put/shard the tree; load_pretrained still yields numpy.
         params = flax.core.unfreeze(_init(hypernet_rng)["params"])
-        params = jax.tree_util.tree_map(np.asarray, params)
 
         generation_strategy = config["hypernet_kwargs"].get(
             "generation_strategy", "full"
         )
         share_tf = config["hypernet_kwargs"].get("share_TF_output_head", False)
+        # ravel every init leaf in ONE device program: per-leaf np.ravel on
+        # device arrays is a download (or an eager dispatch) per leaf —
+        # ~300 tunnel round trips
+        raveled_init = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.ravel, t)
+        )(init_base_params)
         if generation_strategy == "block":
 
             def bias_init(path, value, generation_flag):
@@ -211,12 +222,12 @@ class HyperVLA:
                     if share_tf and "encoderblock_" in path_str:
                         if "encoderblock_0" not in path_str:
                             return  # only layer 0 seeds the shared head
-                    params[f"output_head_{head_name}"]["bias"] = np.ravel(value)
+                    params[f"output_head_{head_name}"]["bias"] = value
                 else:
-                    params[path_str] = np.ravel(value)
+                    params[path_str] = value
 
             jax.tree_util.tree_map_with_path(
-                bias_init, init_base_params, metadata["generation_flag"]
+                bias_init, raveled_init, metadata["generation_flag"]
             )
         else:
             if config["hypernet_kwargs"].get("output_head_bias", True):
@@ -233,10 +244,10 @@ class HyperVLA:
             # shared blocks still bias-init from the fresh base net
             def shared_init(path, value, generation_flag):
                 if not generation_flag:
-                    params["_".join(x.key for x in path)] = np.ravel(value)
+                    params["_".join(x.key for x in path)] = value
 
             jax.tree_util.tree_map_with_path(
-                shared_init, init_base_params, metadata["generation_flag"]
+                shared_init, raveled_init, metadata["generation_flag"]
             )
 
         return cls(

@@ -103,10 +103,18 @@ def init_base_net(
 
     # jit the init: op-by-op dispatch is prohibitively slow on remote TPUs
     init_base_params = jax.jit(base_net.init)(rngs, example_batch)["params"]
-    init_base_params = jax.tree_util.tree_map(np.asarray, init_base_params)
+    # values STAY on device: the WeightPlan below is derived from shapes
+    # alone, and the init values are only ever assigned back into hypernet
+    # params (the bias-init seeding) — downloading the full tree here costs
+    # 35-80 s through a remote-chip tunnel for data that round-trips. The
+    # flat vector is built by one fused device program for the same reason.
+    import jax.numpy as jnp
 
-    flat_leaves, _ = jax.tree_util.tree_flatten(init_base_params)
-    flat_init_base_params = np.concatenate([np.ravel(p) for p in flat_leaves])
+    flat_init_base_params = jax.jit(
+        lambda t: jnp.concatenate(
+            [jnp.ravel(l) for l in jax.tree_util.tree_leaves(t)]
+        )
+    )(init_base_params)
 
     base_param_shapes = jax.tree_util.tree_map(
         lambda x: Shape(x.shape), init_base_params

@@ -31,11 +31,22 @@ class TrainState:
         tx: optax.GradientTransformation,
         track_ema: bool = False,
     ) -> "TrainState":
+        # one batched transfer for any host leaves (per-leaf jnp.asarray is
+        # an eager dispatch each — a host round trip per leaf on remote TPUs)
+        params = jax.device_put(params)
         opt_state = tx.init(params)
-        ema = jax.tree_util.tree_map(jnp.asarray, params) if track_ema else None
+        # EMA must be a REAL copy: params may already be device arrays (e.g.
+        # out of HyperVLA.from_config), where jnp.asarray is identity — the
+        # ema and params leaves would then share buffers and donating the
+        # state fails with "attempt to donate the same buffer twice"
+        ema = (
+            jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(params)
+            if track_ema
+            else None
+        )
         return cls(
             step=jnp.zeros((), dtype=jnp.int32),
-            params=jax.tree_util.tree_map(jnp.asarray, params),
+            params=params,
             opt_state=opt_state,
             rng=rng,
             ema_params=ema,

@@ -22,6 +22,40 @@ def initialize_compilation_cache(
         logging.warning(f"compilation cache unavailable: {e}")
 
 
+def fast_device_get(tree):
+    """Device -> host transfer of a pytree as ONE packed buffer per dtype.
+
+    Leaf-by-leaf `np.asarray`/`jax.device_get` pays a host round trip per
+    leaf — measured ~80 s for the flagship base net's 296 leaves (347 MB)
+    through the shared-chip tunnel vs ~10 s packed. Leaves already on the
+    host pass through untouched.
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = [None] * len(leaves)
+    groups = {}
+    for i, leaf in enumerate(leaves):
+        if isinstance(leaf, jax.Array):
+            groups.setdefault(jnp.result_type(leaf), []).append(i)
+        else:
+            out[i] = np.asarray(leaf)
+    for dt, idxs in groups.items():
+        if len(idxs) == 1:
+            out[idxs[0]] = np.asarray(leaves[idxs[0]])
+            continue
+        packed = jax.jit(
+            lambda ls: jnp.concatenate([jnp.ravel(x) for x in ls])
+        )([leaves[i] for i in idxs])
+        host = np.asarray(packed)
+        offset = 0
+        for i in idxs:
+            size = int(np.prod(leaves[i].shape)) if leaves[i].shape else 1
+            out[i] = host[offset:offset + size].reshape(leaves[i].shape)
+            offset += size
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def host_broadcast_str(x: str) -> str:
     """Broadcasts a string from host 0 to all hosts."""
     if jax.process_count() == 1:
