@@ -95,6 +95,11 @@ class ViT(nn.Module):
     fused_layer_norm: bool = False
     # rematerialize DINO layer activations in backward (fit bigger batches)
     remat_dino: bool = False
+    # named jax.checkpoint policy for the DINO layers ("dots" keeps MXU
+    # outputs and recomputes the elementwise LN/GELU/softmax in backward —
+    # removes the fp32 [B,257,3072] erf intermediates that make the trunk
+    # backward HBM-bound). Overrides remat_dino when set.
+    dino_remat_policy: Optional[str] = None
 
     def setup(self):
         if self.encoder_type == "DINOv2":
@@ -109,6 +114,7 @@ class ViT(nn.Module):
                 scan_layers=self.scan_dino_layers,
                 fused_ln=self.fused_layer_norm,
                 remat=self.remat_dino,
+                remat_policy=self.dino_remat_policy,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

@@ -337,6 +337,34 @@ class _LayerScale(nn.Module):
         return scale * x
 
 
+@jax.custom_vjp
+def _gelu_exact(x):
+    # jax.nn.gelu(approximate=False)'s erfc formulation, evaluated in fp32
+    # and rounded once to the input dtype
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * jax.lax.erfc(-xf * math.sqrt(0.5))).astype(x.dtype)
+
+
+def _gelu_exact_fwd(x):
+    # save the input in ITS dtype: the default VJP of the erfc-based exact
+    # gelu keeps a promoted fp32 copy of the [B,257,3072] pre-activation
+    # alive for backward (~100 MB per layer at bs=32 on the bf16 trunk),
+    # written in forward and re-read in backward — an HBM-bandwidth sink the
+    # round-2 profile named. A bf16 residual halves that traffic; the
+    # derivative is recomputed in fp32 from it.
+    return _gelu_exact(x), x
+
+
+def _gelu_exact_bwd(x, g):
+    xf = x.astype(jnp.float32)
+    cdf = 0.5 * jax.lax.erfc(-xf * math.sqrt(0.5))
+    pdf = jnp.exp(-0.5 * xf * xf) * (1.0 / math.sqrt(2 * math.pi))
+    return ((cdf + xf * pdf).astype(g.dtype) * g,)
+
+
+_gelu_exact.defvjp(_gelu_exact_fwd, _gelu_exact_bwd)
+
+
 class _MLP(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
@@ -350,7 +378,13 @@ class _MLP(nn.Module):
             dtype=self.dtype,
             name="fc1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        if x.dtype == jnp.float32:
+            # fp32 trunk: keep jax's gelu so fp32 goldens/numeric pins stay
+            # bitwise-identical (the custom VJP is analytically equal but
+            # rounds differently)
+            x = nn.gelu(x, approximate=False)
+        else:
+            x = _gelu_exact(x)
         return nn.Dense(
             c.hidden_size,
             kernel_init=_hf_init(c.initializer_range),
@@ -409,6 +443,27 @@ class _Layer(nn.Module):
         return (y + hidden_states,) + attn_outputs[1:]
 
 
+def _remat_policy(name):
+    """Named jax.checkpoint policies for the trunk layers.
+
+    "dots": save matmul outputs (already produced on the MXU, needed for the
+    weight gradients anyway), recompute everything elementwise — LayerNorm,
+    GELU/erf, softmax — in the backward pass. On TPU this removes the big
+    fp32 elementwise intermediates (e.g. the [B,257,3072] erf input the
+    exact-GELU VJP keeps) that make the backward HBM-bandwidth-bound, at the
+    cost of cheap VPU recompute. "nothing": save only layer inputs (max
+    memory saving, recomputes the matmuls too — the fit-bigger-batches
+    lever).
+    """
+    return {
+        "dots": jax.checkpoint_policies.checkpoint_dots,
+        "dots_no_batch": (
+            jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims
+        ),
+        "nothing": jax.checkpoint_policies.nothing_saveable,
+    }[name]
+
+
 class _LayerCollection(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
@@ -416,12 +471,18 @@ class _LayerCollection(nn.Module):
     flash_trainable: bool = False
     fused_ln: bool = False
     remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         all_attentions = () if output_attentions else None
         layer_cls = _Layer
-        if self.remat:
+        if self.remat_policy is not None:
+            layer_cls = nn.remat(
+                _Layer, static_argnums=(2,),
+                policy=_remat_policy(self.remat_policy),
+            )
+        elif self.remat:
             # rematerialize each layer's activations in the backward pass:
             # trades recompute for the O(layers * tokens * width) residual
             # stream memory — the standard fit-bigger-batches lever
@@ -466,6 +527,7 @@ class _Encoder(nn.Module):
     scan_layers: bool = False
     fused_ln: bool = False
     remat: bool = False
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -493,7 +555,8 @@ class _Encoder(nn.Module):
         return _LayerCollection(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
-            fused_ln=self.fused_ln, remat=self.remat, name="layer",
+            fused_ln=self.fused_ln, remat=self.remat,
+            remat_policy=self.remat_policy, name="layer",
         )(hidden_states, output_attentions=output_attentions)
 
 
@@ -513,6 +576,10 @@ class DINOv2Model(nn.Module):
     fused_ln: bool = False
     # rematerialize layer activations in backward (fit bigger batches)
     remat: bool = False
+    # named jax.checkpoint policy for the layers (see _remat_policy);
+    # "dots" = keep MXU outputs, recompute elementwise — the
+    # bandwidth-over-FLOPs training default. Overrides `remat`.
+    remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -528,7 +595,8 @@ class DINOv2Model(nn.Module):
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
             scan_layers=self.scan_layers, fused_ln=self.fused_ln,
-            remat=self.remat, name="encoder",
+            remat=self.remat, remat_policy=self.remat_policy,
+            name="encoder",
         )(x, output_attentions=output_attentions)
         x = _layer_norm(
             self.config, self.dtype, self.fused_ln, "layernorm"

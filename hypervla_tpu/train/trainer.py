@@ -62,7 +62,17 @@ def build_frozen_encoders(config: Dict[str, Any]):
         name = config["base_net_kwargs"]["vit_kwargs"].get(
             "pretrained_encoder_name", "dinov2-base"
         )
-        dino_model = DINOv2Model(config=dinov2_config(name))
+        # the frozen conditioning encoder follows the trunk compute dtype:
+        # its output is stop_gradient'd hypernet conditioning, so bf16 here
+        # is numerically safe and halves the encode's MXU/HBM cost
+        dino_model = DINOv2Model(
+            config=dinov2_config(name),
+            dtype=jnp.dtype(
+                config["base_net_kwargs"]["vit_kwargs"].get(
+                    "encoder_dtype", "float32"
+                )
+            ),
+        )
         image_size = config["dataset_kwargs"].get(
             "resize_size", {"primary": (224, 224)}
         )["primary"]

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialize DINO layers (fit bigger real batches)")
+    ap.add_argument("--remat-policy", type=str, default=None,
+                    help="DINO layer jax.checkpoint policy: dots | "
+                         "dots_no_batch | nothing (dots = keep MXU outputs, "
+                         "recompute elementwise backward)")
     ap.add_argument("--dtype", type=str, default=None,
                     help="trunk compute dtype override (e.g. bfloat16)")
     ap.add_argument("--packed", action="store_true",
@@ -79,9 +83,13 @@ def main():
             "flash_attention_trainable"
         ] = True
         config["base_net_kwargs"]["vit_kwargs"]["sow_dino_attention"] = False
-    if args.remat or args.flash:
+    if args.remat or args.flash or args.remat_policy:
         if args.remat:
             config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
+        if args.remat_policy:
+            config["base_net_kwargs"]["vit_kwargs"]["dino_remat_policy"] = (
+                args.remat_policy
+            )
         from hypervla_tpu.models.hypervla import HyperVLA
 
         model = HyperVLA.from_config(
@@ -171,6 +179,7 @@ def main():
     print(json.dumps({
         "metric": "flagship train step (single-jit GSPMD)",
         "trunk_dtype": args.dtype or "float32",
+        "remat_policy": args.remat_policy,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
         "effective_batch": effective_batch,

@@ -128,3 +128,88 @@ def test_t5_relative_bias_only_in_block0():
     params = model.init(jax.random.PRNGKey(0), ids)["params"]
     assert "relative_attention_bias" in params["block_0"]["layer_0_SelfAttention"]
     assert "relative_attention_bias" not in params["block_1"]["layer_0_SelfAttention"]
+
+
+def test_gelu_exact_custom_vjp_matches_autodiff():
+    """The bf16-residual exact gelu matches jax.nn.gelu fwd+bwd within bf16
+    rounding, and a bf16 trunk's grads stay close to the fp32 trunk's."""
+    from hypervla_tpu.models.encoders.dinov2 import _gelu_exact
+
+    x = jnp.asarray(np.random.RandomState(0).randn(64, 33) * 3, jnp.bfloat16)
+    ref = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
+    got = _gelu_exact(x).astype(jnp.float32)
+    assert float(jnp.abs(ref - got).max()) < 0.02
+
+    g = jnp.asarray(np.random.RandomState(1).randn(64, 33), jnp.bfloat16)
+    ref_grad = jax.vjp(
+        lambda v: jax.nn.gelu(v, approximate=False), x.astype(jnp.float32)
+    )[1](g.astype(jnp.float32))[0]
+    got_grad = jax.vjp(_gelu_exact, x)[1](g)[0].astype(jnp.float32)
+    assert float(jnp.abs(ref_grad - got_grad).max()) < 0.05
+
+
+def test_dinov2_bf16_custom_gelu_grads_match_default_vjp(monkeypatch):
+    """End-to-end: the bf16 trunk's grads with the memory-lean custom gelu
+    VJP match the same bf16 trunk using jax's default gelu autodiff — the
+    residual-dtype change must not move training numerics."""
+    from hypervla_tpu.models.encoders import dinov2 as dinov2_mod
+
+    rng = jax.random.PRNGKey(0)
+    pixels = jax.random.normal(rng, (2, 56, 56, 3))
+    m16 = DINOv2Model(config=TINY_DINO, dtype=jnp.bfloat16)
+    params = m16.init(rng, pixels)["params"]
+
+    def loss(p, x):
+        out = m16.apply({"params": p}, x)
+        return (out.last_hidden_state ** 2).mean()
+
+    l_custom, g_custom = jax.value_and_grad(loss)(params, pixels)
+
+    # same model, default autodiff through the fp32-promoted gelu
+    monkeypatch.setattr(
+        dinov2_mod, "_gelu_exact",
+        lambda x: jax.nn.gelu(
+            x.astype(jnp.float32), approximate=False
+        ).astype(x.dtype),
+    )
+    l_ref, g_ref = jax.value_and_grad(loss)(params, pixels)
+
+    assert np.isfinite(float(l_custom))
+    assert abs(float(l_custom) - float(l_ref)) < 1e-3 * (
+        abs(float(l_ref)) + 1e-6
+    )
+    flat_c = jnp.concatenate(
+        [jnp.ravel(v) for v in jax.tree_util.tree_leaves(g_custom)]
+    )
+    flat_r = jnp.concatenate(
+        [jnp.ravel(v) for v in jax.tree_util.tree_leaves(g_ref)]
+    )
+    cos = jnp.dot(flat_c, flat_r) / (
+        jnp.linalg.norm(flat_c) * jnp.linalg.norm(flat_r) + 1e-12
+    )
+    assert float(cos) > 0.999
+
+
+def test_dinov2_remat_policy_matches_no_remat():
+    """remat_policy='dots' must not change values or grads (pure recompute)."""
+    rng = jax.random.PRNGKey(0)
+    pixels = jax.random.normal(rng, (2, 56, 56, 3))
+    base = DINOv2Model(config=TINY_DINO, dtype=jnp.bfloat16)
+    rem = DINOv2Model(
+        config=TINY_DINO, dtype=jnp.bfloat16, remat_policy="dots"
+    )
+    params = base.init(rng, pixels)["params"]
+
+    def loss(model, p):
+        return (model.apply({"params": p}, pixels).last_hidden_state ** 2).mean()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(rem, p))(params)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-4
+        ),
+        g0,
+        g1,
+    )
