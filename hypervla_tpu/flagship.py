@@ -66,6 +66,7 @@ def build_flagship(
     encoder_dtype: Optional[str] = None,
     serving: bool = False,
     training: bool = False,
+    vit_overrides: Optional[dict] = None,
 ) -> Tuple[HyperVLA, dict]:
     """Builds the flagship HyperVLA model (or a tiny topological twin for
     CPU dry runs) plus a matching example batch."""
@@ -95,5 +96,8 @@ def build_flagship(
         config["base_net_kwargs"]["vit_kwargs"].update(
             use_flash_attention=False, sow_dino_attention=False
         )
+    if vit_overrides:
+        # A/B experiment hook (profilers, benches): raw vit_kwargs overrides
+        config["base_net_kwargs"]["vit_kwargs"].update(vit_overrides)
     model = HyperVLA.from_config(config, batch, jax.random.PRNGKey(seed))
     return model, batch

@@ -13,7 +13,7 @@ jit-friendly. Submodule names that appear in generated-weight-plan block
 names (image_encoder, image_embedding_projection, language_token_projection,
 pos_embedding, and the auto-named encoder/transformer) are pinned.
 """
-from typing import Optional
+from typing import Optional, Union
 
 import flax.linen as nn
 import jax
@@ -92,7 +92,7 @@ class ViT(nn.Module):
     # Incompatible with sow_dino_attention.
     scan_dino_layers: bool = False
     # single-pass Pallas LayerNorm in the trunk (inference-only serving path)
-    fused_layer_norm: bool = False
+    fused_layer_norm: Union[bool, str] = False
     # rematerialize DINO layer activations in backward (fit bigger batches)
     remat_dino: bool = False
     # named jax.checkpoint policy for the DINO layers ("dots" keeps MXU
@@ -100,6 +100,9 @@ class ViT(nn.Module):
     # removes the fp32 [B,257,3072] erf intermediates that make the trunk
     # backward HBM-bound). Overrides remat_dino when set.
     dino_remat_policy: Optional[str] = None
+    # "pallas_serving": bs=1 inference trunk as one Pallas weight-streaming
+    # kernel (ops/dino_layer.py); needs the "trunk_kernel" collection
+    dino_layers_impl: Optional[str] = None
 
     def setup(self):
         if self.encoder_type == "DINOv2":
@@ -115,6 +118,7 @@ class ViT(nn.Module):
                 fused_ln=self.fused_layer_norm,
                 remat=self.remat_dino,
                 remat_policy=self.dino_remat_policy,
+                layers_impl=self.dino_layers_impl,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

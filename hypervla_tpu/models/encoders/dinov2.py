@@ -15,7 +15,7 @@ Output mirrors the HF interface subset the reference uses:
 """
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -226,7 +226,60 @@ class _FusedLayerNorm(nn.Module):
         return layer_norm(x, scale, bias, eps=self.epsilon).astype(self.dtype)
 
 
+class _DotLayerNorm(nn.Module):
+    """LayerNorm whose mean/E[x^2] reductions run as MXU ones-dots.
+
+    At the bs=1 serving geometry ([257,768] rows) XLA lowers LayerNorm to a
+    VPU cross-lane reduce fusion measured at ~22 us — twelve of them are
+    half the 0.53 ms serving step (round-3 profile, scripts/profile_serving).
+    A [257,768]x[768,2] dot against [ones, x]-style columns computes the
+    same sums on the MXU in a few microseconds; the optimization_barrier on
+    the ones operand stops XLA's algebraic simplifier from rewriting the
+    dot back into the slow reduce. fp32 accumulation via
+    preferred_element_type; fast-variance formula (E[x^2] - mean^2) matches
+    flax nn.LayerNorm's default. Inference-only: no custom VJP, so training
+    keeps nn.LayerNorm.
+    """
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        # 128 output lanes (the MXU's native width): XLA canonicalizes
+        # matrix x vector dots back into the slow VPU reduce, so the ones
+        # operand must be a real matrix; the barriers keep the simplifier
+        # from folding the constant or sinking the column slice into the dot
+        ones = jax.lax.optimization_barrier(jnp.ones((d, 128), x.dtype))
+        s1 = jax.lax.optimization_barrier(
+            jax.lax.dot_general(
+                x, ones, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )[..., :1]
+        s2 = jax.lax.optimization_barrier(
+            jax.lax.dot_general(
+                x * x, ones, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )[..., :1]
+        mean = s1 / d
+        var = jnp.maximum(s2 / d - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        out = (x.astype(jnp.float32) - mean) * inv * scale + bias
+        return out.astype(self.dtype)
+
+
 def _layer_norm(config, dtype, fused, name):
+    """fused: False -> flax nn.LayerNorm; True -> Pallas single-pass kernel;
+    "dot" -> MXU ones-dot statistics (fastest at bs=1 serving geometry)."""
+    if fused == "dot":
+        return _DotLayerNorm(
+            epsilon=config.layer_norm_eps, dtype=dtype, name=name
+        )
     if fused:
         return _FusedLayerNorm(
             epsilon=config.layer_norm_eps, dtype=dtype, name=name
@@ -417,7 +470,7 @@ class _Layer(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     flash_trainable: bool = False
-    fused_ln: bool = False
+    fused_ln: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -469,7 +522,7 @@ class _LayerCollection(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     flash_trainable: bool = False
-    fused_ln: bool = False
+    fused_ln: Union[bool, str] = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -506,7 +559,7 @@ class _ScanBlock(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     flash_trainable: bool = False
-    fused_ln: bool = False
+    fused_ln: Union[bool, str] = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -525,7 +578,7 @@ class _Encoder(nn.Module):
     use_flash: bool = False
     flash_trainable: bool = False
     scan_layers: bool = False
-    fused_ln: bool = False
+    fused_ln: Union[bool, str] = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -573,13 +626,19 @@ class DINOv2Model(nn.Module):
     # `stack_layer_params`.
     scan_layers: bool = False
     # single-pass Pallas LayerNorm (inference-only serving path)
-    fused_ln: bool = False
+    fused_ln: Union[bool, str] = False
     # rematerialize layer activations in backward (fit bigger batches)
     remat: bool = False
     # named jax.checkpoint policy for the layers (see _remat_policy);
     # "dots" = keep MXU outputs, recompute elementwise — the
     # bandwidth-over-FLOPs training default. Overrides `remat`.
     remat_policy: Optional[str] = None
+    # "pallas_serving": run the 12 layers as ONE Pallas weight-streaming
+    # kernel (ops/dino_layer.py; bs=1 bf16 inference only). Layer weights
+    # come pre-stacked through the "trunk_kernel" variable collection
+    # (ops/serving.py::prepare_serving_params builds it once per episode);
+    # the per-layer "params" leaves are unused on this path.
+    layers_impl: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -591,13 +650,35 @@ class DINOv2Model(nn.Module):
         x = _Embeddings(self.config, dtype=self.dtype, name="embeddings")(
             pixel_values, deterministic=deterministic
         )
-        x, attentions = _Encoder(
-            self.config, dtype=self.dtype, use_flash=self.use_flash,
-            flash_trainable=self.flash_trainable,
-            scan_layers=self.scan_layers, fused_ln=self.fused_ln,
-            remat=self.remat, remat_policy=self.remat_policy,
-            name="encoder",
-        )(x, output_attentions=output_attentions)
+        if self.layers_impl == "pallas_serving":
+            assert not output_attentions, (
+                "the Pallas serving trunk does not capture attention maps"
+            )
+            if not self.has_variable("trunk_kernel", "w"):
+                raise ValueError(
+                    "layers_impl='pallas_serving' needs the stacked trunk "
+                    "weights: apply with a 'trunk_kernel' collection (see "
+                    "ops/serving.py::prepare_serving_params)"
+                )
+            from hypervla_tpu.ops.dino_layer import dino_layers_serving
+
+            assert x.shape[0] == 1, "Pallas serving trunk is bs=1"
+            x = dino_layers_serving(
+                x[0].astype(jnp.bfloat16),
+                self.get_variable("trunk_kernel", "w"),
+                self.get_variable("trunk_kernel", "b"),
+                self.get_variable("trunk_kernel", "p"),
+                eps=self.config.layer_norm_eps,
+            )[None]
+            attentions = None
+        else:
+            x, attentions = _Encoder(
+                self.config, dtype=self.dtype, use_flash=self.use_flash,
+                flash_trainable=self.flash_trainable,
+                scan_layers=self.scan_layers, fused_ln=self.fused_ln,
+                remat=self.remat, remat_policy=self.remat_policy,
+                name="encoder",
+            )(x, output_attentions=output_attentions)
         x = _layer_norm(
             self.config, self.dtype, self.fused_ln, "layernorm"
         )(x)

@@ -100,6 +100,57 @@ def pack_generated_params(model, base_params):
     return packed, shared, unpack
 
 
+def make_pallas_trunk_net(model, base_params):
+    """Serving variant of the base net whose DINOv2 layers run as one
+    Pallas weight-streaming kernel (ops/dino_layer.py).
+
+    Returns (serve_net, variables): `serve_net` is the model's BaseNetwork
+    cloned with `dino_layers_impl="pallas_serving"`; `variables` is the
+    apply dict — {"params": <base_params with the 168 per-layer trunk
+    leaves stripped>, "trunk_kernel": <3 stacked arrays>}. Run once per
+    episode after `create_tasks` / `prepare_serving_params`:
+
+        serve_net, variables = make_pallas_trunk_net(model, base_params)
+        action = jax.jit(lambda v, *a: serve_net.apply(v, *a, ...))(
+            variables, images, ...)
+    """
+    import flax.core
+
+    from hypervla_tpu.ops.dino_layer import stack_serving_layer_params
+
+    vit_kwargs = dict(model.config["base_net_kwargs"]["vit_kwargs"])
+    assert vit_kwargs.get("encoder_type") == "DINOv2", (
+        "the Pallas trunk kernel is DINOv2-only"
+    )
+    vit_kwargs["dino_layers_impl"] = "pallas_serving"
+    vit_kwargs["sow_dino_attention"] = False
+    serve_net = model.base_net.clone(vit_kwargs=vit_kwargs)
+
+    params = dict(flax.core.unfreeze(base_params))
+    params["encoder"] = dict(params["encoder"])
+    image_encoder = dict(params["encoder"]["image_encoder"])
+    encoder_inner = dict(image_encoder["encoder"])
+    layer_params = encoder_inner.pop("layer")
+    image_encoder["encoder"] = encoder_inner
+    params["encoder"]["image_encoder"] = image_encoder
+
+    from hypervla_tpu.models.encoders.dinov2 import dinov2_config
+
+    cfg = dinov2_config(
+        vit_kwargs.get("pretrained_encoder_name", "dinov2-base")
+    )
+    w, b, p = stack_serving_layer_params(
+        layer_params, layerscale_value=cfg.layerscale_value
+    )
+    variables = {
+        "params": params,
+        "trunk_kernel": {
+            "encoder": {"image_encoder": {"w": w, "b": b, "p": p}}
+        },
+    }
+    return serve_net, variables
+
+
 def make_serving_step(
     model,
     unnorm_stats: dict,

@@ -1,0 +1,146 @@
+"""Parity tests for the Pallas streaming DINOv2 serving kernel
+(ops/dino_layer.py) against the flax bf16 trunk it replaces."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypervla_tpu.models.encoders.dinov2 import (
+    DINOv2Config,
+    _LayerCollection,
+)
+from hypervla_tpu.ops.dino_layer import (
+    dino_layers_serving,
+    stack_serving_layer_params,
+)
+
+BASE_GEOM = DINOv2Config()  # dinov2-base: 768 wide, 12 heads
+
+
+def _make_reference(num_layers, seq, seed=0):
+    cfg = DINOv2Config(num_hidden_layers=num_layers)
+    module = _LayerCollection(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(seed)
+    x = (jax.random.normal(rng, (1, seq, cfg.hidden_size)) * 0.5).astype(
+        jnp.bfloat16
+    )
+    params = module.init(rng, x)["params"]
+    # non-trivial layer scales / LN params so the test can't pass with
+    # identity-parameter luck
+    params = jax.tree_util.tree_map(
+        lambda v: v + 0.02 * jax.random.normal(
+            jax.random.PRNGKey(hash(v.shape) % 2**31), v.shape, v.dtype
+        ) if v.ndim == 1 else v,
+        params,
+    )
+    ref, _ = module.apply({"params": params}, x)
+    return params, x, ref
+
+
+@pytest.mark.parametrize("num_layers,seq", [(2, 257), (3, 128)])
+def test_kernel_matches_flax_bf16_trunk(num_layers, seq):
+    params, x, ref = _make_reference(num_layers, seq)
+    w, b, p = stack_serving_layer_params(params)
+    got = dino_layers_serving(x[0], w, b, p, eps=1e-6, interpret=True)
+    ref_f = np.asarray(ref[0], np.float32)
+    got_f = np.asarray(got, np.float32)
+    # both paths round to bf16 at the same points; residual drift over
+    # layers stays within a few bf16 ulps of the activation scale
+    scale = np.abs(ref_f).max()
+    assert np.isfinite(got_f).all()
+    assert np.abs(ref_f - got_f).max() < 0.03 * max(scale, 1.0), (
+        np.abs(ref_f - got_f).max(),
+        scale,
+    )
+
+
+def test_kernel_twelve_layer_shapes():
+    """Full dinov2-base depth runs through the grid (interpret mode)."""
+    params, x, ref = _make_reference(12, 257)
+    w, b, p = stack_serving_layer_params(params)
+    assert w.shape == (12, 6, 768, 1536) and w.dtype == jnp.bfloat16
+    got = dino_layers_serving(x[0], w, b, p, interpret=True)
+    assert got.shape == (257, 768)
+    err = np.abs(
+        np.asarray(ref[0], np.float32) - np.asarray(got, np.float32)
+    ).max()
+    scale = np.abs(np.asarray(ref[0], np.float32)).max()
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
+def test_dinov2_model_layers_impl_pallas_matches_xla():
+    """Module-level wiring: DINOv2Model(layers_impl='pallas_serving') with
+    the trunk_kernel collection matches the standard bf16 forward."""
+    cfg = DINOv2Config()  # base geometry (the kernel's target)
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (1, 56, 56, 3))
+
+    from hypervla_tpu.models.encoders.dinov2 import DINOv2Model
+
+    ref_model = DINOv2Model(config=cfg, dtype=jnp.bfloat16)
+    params = ref_model.init(jax.random.PRNGKey(1), pixels)["params"]
+    ref = ref_model.apply({"params": params}, pixels).last_hidden_state
+
+    w, b, p = stack_serving_layer_params(
+        params["encoder"]["layer"], layerscale_value=cfg.layerscale_value
+    )
+    kern_model = DINOv2Model(
+        config=cfg, dtype=jnp.bfloat16, layers_impl="pallas_serving"
+    )
+    got = kern_model.apply(
+        {"params": params, "trunk_kernel": {"w": w, "b": b, "p": p}},
+        pixels,
+    ).last_hidden_state
+    err = np.abs(np.asarray(ref) - np.asarray(got)).max()
+    scale = np.abs(np.asarray(ref)).max()
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
+def test_make_pallas_trunk_net_strips_layer_leaves():
+    """make_pallas_trunk_net removes the per-layer trunk leaves from
+    'params' and emits the three stacked kernel arrays."""
+    import types
+
+    import flax.linen as fnn
+
+    from hypervla_tpu.ops.serving import make_pallas_trunk_net
+
+    vit_kwargs = {
+        "encoder_type": "DINOv2",
+        "pretrained_encoder_name": "dinov2-base",
+        "encoder_dtype": "bfloat16",
+    }
+    config = {"base_net_kwargs": {"vit_kwargs": vit_kwargs}}
+
+    class _Net(fnn.Module):
+        vit_kwargs: dict
+
+        def __call__(self, x):
+            return x
+
+    from hypervla_tpu.models.encoders.dinov2 import (
+        DINOv2Config,
+        DINOv2Model,
+    )
+
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (1, 56, 56, 3))
+    dino = DINOv2Model(config=DINOv2Config(), dtype=jnp.bfloat16)
+    dino_params = dino.init(jax.random.PRNGKey(1), pixels)["params"]
+    base_params = {
+        "encoder": {"image_encoder": dino_params},
+        "head": {"kernel": jnp.zeros((4, 4))},
+    }
+    model = types.SimpleNamespace(
+        config=config, base_net=_Net(vit_kwargs=vit_kwargs)
+    )
+    serve_net, variables = make_pallas_trunk_net(model, base_params)
+    assert serve_net.vit_kwargs["dino_layers_impl"] == "pallas_serving"
+    assert "layer" not in variables["params"]["encoder"]["image_encoder"][
+        "encoder"
+    ]
+    tk = variables["trunk_kernel"]["encoder"]["image_encoder"]
+    assert tk["w"].shape == (12, 6, 768, 1536)
+    assert tk["b"].shape == (12, 6, 1536)
+    assert tk["p"].shape == (12, 6, 768)
+    # untouched non-trunk leaves survive
+    assert variables["params"]["head"]["kernel"].shape == (4, 4)

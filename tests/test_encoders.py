@@ -213,3 +213,30 @@ def test_dinov2_remat_policy_matches_no_remat():
         g0,
         g1,
     )
+
+
+def test_dot_layer_norm_matches_nn_layer_norm():
+    """The MXU ones-dot LayerNorm matches flax nn.LayerNorm within bf16
+    rounding (serving-only variant, fused_ln='dot')."""
+    import flax.linen as nn
+
+    from hypervla_tpu.models.encoders.dinov2 import _DotLayerNorm
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 257, 768) * 2, jnp.bfloat16
+    )
+    params = {
+        "params": {
+            "scale": jnp.asarray(
+                np.random.RandomState(1).rand(768) + 0.5, jnp.float32
+            ),
+            "bias": jnp.asarray(
+                np.random.RandomState(2).randn(768) * 0.1, jnp.float32
+            ),
+        }
+    }
+    got = _DotLayerNorm(epsilon=1e-6, dtype=jnp.bfloat16).apply(
+        params, x
+    ).astype(jnp.float32)
+    ref = nn.LayerNorm(epsilon=1e-6).apply(params, x.astype(jnp.float32))
+    assert float(jnp.abs(got - ref).max()) < 0.05
