@@ -232,13 +232,10 @@ class _DotLayerNorm(nn.Module):
     At the bs=1 serving geometry ([257,768] rows) XLA lowers LayerNorm to a
     VPU cross-lane reduce fusion measured at ~22 us — twelve of them are
     half the 0.53 ms serving step (round-3 profile, scripts/profile_serving).
-    A [257,768]x[768,2] dot against [ones, x]-style columns computes the
-    same sums on the MXU in a few microseconds; the optimization_barrier on
-    the ones operand stops XLA's algebraic simplifier from rewriting the
-    dot back into the slow reduce. fp32 accumulation via
-    preferred_element_type; fast-variance formula (E[x^2] - mean^2) matches
-    flax nn.LayerNorm's default. Inference-only: no custom VJP, so training
-    keeps nn.LayerNorm.
+    Backed by ops/layer_norm.py::layer_norm_dot: ones-dot statistics on the
+    MXU (fp32 accumulation, flax fast-variance semantics) with a custom VJP
+    whose backward reductions are MXU dots as well — usable for both
+    serving and the bf16 training trunk. Enable with fused_ln="dot".
     """
 
     epsilon: float = 1e-6
@@ -249,28 +246,11 @@ class _DotLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,))
         bias = self.param("bias", nn.initializers.zeros, (d,))
-        # 128 output lanes (the MXU's native width): XLA canonicalizes
-        # matrix x vector dots back into the slow VPU reduce, so the ones
-        # operand must be a real matrix; the barriers keep the simplifier
-        # from folding the constant or sinking the column slice into the dot
-        ones = jax.lax.optimization_barrier(jnp.ones((d, 128), x.dtype))
-        s1 = jax.lax.optimization_barrier(
-            jax.lax.dot_general(
-                x, ones, (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )[..., :1]
-        s2 = jax.lax.optimization_barrier(
-            jax.lax.dot_general(
-                x * x, ones, (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        )[..., :1]
-        mean = s1 / d
-        var = jnp.maximum(s2 / d - mean * mean, 0.0)
-        inv = jax.lax.rsqrt(var + self.epsilon)
-        out = (x.astype(jnp.float32) - mean) * inv * scale + bias
-        return out.astype(self.dtype)
+        from hypervla_tpu.ops.layer_norm import layer_norm_dot
+
+        return layer_norm_dot(x, scale, bias, self.epsilon).astype(
+            self.dtype
+        )
 
 
 def _layer_norm(config, dtype, fused, name):

@@ -1,0 +1,101 @@
+"""Forward/backward parity of the MXU-dot LayerNorm
+(ops/layer_norm.py::layer_norm_dot) against flax nn.LayerNorm."""
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hypervla_tpu.ops.layer_norm import layer_norm_dot
+
+
+def _setup(dtype, shape=(4, 33, 768)):
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(*shape) * 2, dtype)
+    scale = jnp.asarray(rs.rand(shape[-1]) + 0.5, jnp.float32)
+    bias = jnp.asarray(rs.randn(shape[-1]) * 0.1, jnp.float32)
+    return x, scale, bias
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_forward_matches_nn_layer_norm(dtype):
+    x, scale, bias = _setup(dtype)
+    got = layer_norm_dot(x, scale, bias, 1e-6).astype(jnp.float32)
+    ref = nn.LayerNorm(epsilon=1e-6).apply(
+        {"params": {"scale": scale, "bias": bias}}, x.astype(jnp.float32)
+    )
+    tol = 1e-5 if dtype == jnp.float32 else 0.05
+    assert float(jnp.abs(got - ref).max()) < tol
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_grads_match_autodiff(dtype):
+    x, scale, bias = _setup(dtype, shape=(2, 57, 768))
+    g = jnp.asarray(np.random.RandomState(1).randn(2, 57, 768), dtype)
+
+    def ref_fn(x, s, b):
+        return nn.LayerNorm(epsilon=1e-6).apply(
+            {"params": {"scale": s, "bias": b}}, x.astype(jnp.float32)
+        )
+
+    ref, ref_vjp = jax.vjp(ref_fn, x.astype(jnp.float32), scale, bias)
+    rdx, rds, rdb = ref_vjp(g.astype(jnp.float32))
+
+    got, got_vjp = jax.vjp(
+        lambda x, s, b: layer_norm_dot(x, s, b, 1e-6), x, scale, bias
+    )
+    gdx, gds, gdb = got_vjp(g)
+
+    tol = 1e-4 if dtype == jnp.float32 else 0.2
+    assert float(jnp.abs(gdx.astype(jnp.float32) - rdx).max()) < tol
+    # parameter grads accumulate over 114 rows; compare relatively
+    for got_g, ref_g in ((gds, rds), (gdb, rdb)):
+        denom = float(jnp.abs(ref_g).max()) + 1e-6
+        rel = float(jnp.abs(got_g - ref_g).max()) / denom
+        assert rel < (1e-5 if dtype == jnp.float32 else 0.02), rel
+
+
+def test_grad_through_dinov2_trunk_bf16():
+    """fused_ln='dot' is differentiable end-to-end through a tiny bf16
+    trunk and its gradients track the fp32 trunk AT LEAST as well as the
+    flax nn.LayerNorm bf16 trunk does.
+
+    (Comparing the two bf16 variants against each other is meaningless
+    here: at random init, bf16-rounding-pattern differences between any
+    two equally-valid LN implementations decorrelate gradients through
+    the attention layers — measured cosine ~0.89 even between flax
+    fast-variance and this fp32-normalize path. Against the fp32 truth,
+    the dot-LN trunk measured 0.925 vs flax-bf16's 0.864.)"""
+    from hypervla_tpu.models.encoders.dinov2 import DINOv2Config, DINOv2Model
+
+    cfg = DINOv2Config(hidden_size=256, num_hidden_layers=2,
+                       num_attention_heads=4, image_size=224)
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3))
+    f32m = DINOv2Model(config=cfg, dtype=jnp.float32)
+    bf16m = DINOv2Model(config=cfg, dtype=jnp.bfloat16)
+    dotm = DINOv2Model(config=cfg, dtype=jnp.bfloat16, fused_ln="dot")
+    params = f32m.init(jax.random.PRNGKey(1), pixels)["params"]
+
+    def loss(model, p):
+        return (model.apply({"params": p}, pixels).last_hidden_state ** 2).mean()
+
+    def cosine(ga, gb):
+        a = jnp.concatenate([
+            jnp.ravel(v).astype(jnp.float32)
+            for v in jax.tree_util.tree_leaves(ga)
+        ])
+        b = jnp.concatenate([
+            jnp.ravel(v).astype(jnp.float32)
+            for v in jax.tree_util.tree_leaves(gb)
+        ])
+        return float(
+            jnp.dot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b) + 1e-12)
+        )
+
+    lref, gref = jax.value_and_grad(lambda p: loss(f32m, p))(params)
+    lbf, gbf = jax.value_and_grad(lambda p: loss(bf16m, p))(params)
+    ldot, gdot = jax.value_and_grad(lambda p: loss(dotm, p))(params)
+    assert abs(float(ldot) - float(lref)) < 5e-3 * (abs(float(lref)) + 1e-6)
+    cos_flax = cosine(gref, gbf)
+    cos_dot = cosine(gref, gdot)
+    assert cos_dot > cos_flax - 0.02, (cos_dot, cos_flax)
