@@ -373,7 +373,17 @@ class _LayerScale(nn.Module):
 @jax.custom_vjp
 def _gelu_exact(x):
     # jax.nn.gelu(approximate=False)'s erfc formulation, evaluated in fp32
-    # and rounded once to the input dtype
+    # and rounded once to the input dtype. The Pallas kernel keeps the fp32
+    # upcast in registers — XLA otherwise materializes the fp32
+    # [B,257,3072] intermediate between the fc1 and erfc fusions (202 MB at
+    # bs=64, ~1.5 ms/layer; round-3 profile). HYPERVLA_FUSED_GELU=0 falls
+    # back to the plain XLA expression.
+    import os
+
+    if os.environ.get("HYPERVLA_FUSED_GELU", "1") != "0":
+        from hypervla_tpu.ops.gelu import gelu_exact_fused
+
+        return gelu_exact_fused(x)
     xf = x.astype(jnp.float32)
     return (0.5 * xf * jax.lax.erfc(-xf * math.sqrt(0.5))).astype(x.dtype)
 

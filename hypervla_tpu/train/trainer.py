@@ -65,12 +65,19 @@ def build_frozen_encoders(config: Dict[str, Any]):
         # the frozen conditioning encoder follows the trunk compute dtype:
         # its output is stop_gradient'd hypernet conditioning, so bf16 here
         # is numerically safe and halves the encode's MXU/HBM cost
+        # the frozen conditioning encoder mirrors the trunk's compute dtype
+        # and LayerNorm impl: its output is stop_gradient'd hypernet
+        # conditioning, so the bf16 / MXU-dot-LN fast paths are safe here
+        # and it runs inside the same jitted train step
         dino_model = DINOv2Model(
             config=dinov2_config(name),
             dtype=jnp.dtype(
                 config["base_net_kwargs"]["vit_kwargs"].get(
                     "encoder_dtype", "float32"
                 )
+            ),
+            fused_ln=config["base_net_kwargs"]["vit_kwargs"].get(
+                "fused_layer_norm", False
             ),
         )
         image_size = config["dataset_kwargs"].get(

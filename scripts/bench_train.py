@@ -44,6 +44,10 @@ def main():
                          "recompute elementwise backward)")
     ap.add_argument("--dtype", type=str, default=None,
                     help="trunk compute dtype override (e.g. bfloat16)")
+    ap.add_argument("--ln", type=str, default=None,
+                    help="trunk LayerNorm impl: 'dot' = MXU ones-dot "
+                         "statistics with the custom-VJP backward "
+                         "(ops/layer_norm.py::layer_norm_dot)")
     ap.add_argument("--packed", action="store_true",
                     help="packed flat-group AdamW (optimizer.packed=True)")
     ap.add_argument("--flash", action="store_true",
@@ -83,12 +87,16 @@ def main():
             "flash_attention_trainable"
         ] = True
         config["base_net_kwargs"]["vit_kwargs"]["sow_dino_attention"] = False
-    if args.remat or args.flash or args.remat_policy:
+    if args.remat or args.flash or args.remat_policy or args.ln:
         if args.remat:
             config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         if args.remat_policy:
             config["base_net_kwargs"]["vit_kwargs"]["dino_remat_policy"] = (
                 args.remat_policy
+            )
+        if args.ln:
+            config["base_net_kwargs"]["vit_kwargs"]["fused_layer_norm"] = (
+                args.ln if args.ln != "pallas" else True
             )
         from hypervla_tpu.models.hypervla import HyperVLA
 
@@ -180,6 +188,7 @@ def main():
         "metric": "flagship train step (single-jit GSPMD)",
         "trunk_dtype": args.dtype or "float32",
         "remat_policy": args.remat_policy,
+        "ln": args.ln,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
         "effective_batch": effective_batch,
