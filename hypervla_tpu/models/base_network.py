@@ -151,11 +151,10 @@ class BaseNetwork(nn.Module):
                 train=train,
             )
             return embedding_dict, None
-        # vit: precomputed SigLIP patch embeddings ride in the observation
-        image_embeddings = (
-            batch["observation"]["patch_embeddings"]
-            if self.vit_kwargs["encoder_type"] == "Siglip" else None
-        )
+        # vit: precomputed patch embeddings ride in the observation —
+        # SigLIP always; DINOv2/CLIP when the train step hoists the shared
+        # trunk out of its per-sample vmap (train_step.py)
+        image_embeddings = batch["observation"].get("patch_embeddings")
         return self.encode(
             batch["observation"]["image_primary"].squeeze(1),
             batch["task"]["language_instruction"]["token_embedding"],

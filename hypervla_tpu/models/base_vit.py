@@ -185,12 +185,15 @@ class ViT(nn.Module):
                 features=self.hidden_dim, kernel_size=(1, 1)
             )(features)
         elif kind in ("DINOv2", "CLIP", "Siglip"):
-            if kind != "Siglip":  # SigLIP embeddings arrive precomputed
+            if kind != "Siglip" and image_embeddings is None:
+                # embeddings may arrive precomputed (SigLIP always; the
+                # train step hoists the shared DINOv2 trunk out of its
+                # per-sample vmap and injects them — train_step.py)
                 image_embeddings = self._pretrained_embeddings(images, train)
-                if not self.fine_tune_pretrained_image_encoder:
-                    image_embeddings = jax.lax.stop_gradient(
-                        image_embeddings
-                    )
+            if kind != "Siglip" and not (
+                self.fine_tune_pretrained_image_encoder
+            ):
+                image_embeddings = jax.lax.stop_gradient(image_embeddings)
             patches = nn.Dense(
                 self.hidden_dim, name="image_embedding_projection"
             )(image_embeddings)

@@ -368,3 +368,38 @@ def _leaf_lookup(tree, path):
     for p in path:
         node = node[p.key]
     return node
+
+
+def rebuild_shared_subtree(hypernet_params, base_net_metadata,
+                           subtree=("encoder", "image_encoder")):
+    """Reshapes the hypernet's flat SHARED leaves into a base-net param
+    subtree without running the hypernet.
+
+    Shared blocks (e.g. the 86M-param DINOv2 trunk under
+    shared_modules=("image_encoder",)) live in the hypernet's params as
+    flat vectors keyed by their flat block name; they do not depend on the
+    task, so callers can rebuild them once per batch. The train step uses
+    this to hoist the trunk forward out of its per-sample vmap — under
+    vmap, XLA computes the closed-over trunk's weight gradients as
+    per-sample multiply+reduce fusions on the VPU instead of MXU matmuls
+    (~15 ms of the 163 ms bs=64 step, round-3 profile)."""
+    shapes = base_net_metadata["param_shape"]
+    names = base_net_metadata.get("flat_name")
+    flags = base_net_metadata["generation_flag"]
+    for key in subtree:
+        shapes = shapes[key]
+        names = names[key] if names is not None else None
+        flags = flags[key]
+    for gen in jax.tree_util.tree_leaves(flags):
+        assert not gen, f"subtree {subtree} contains generated blocks"
+
+    def _rebuild(path, shape):
+        if names is not None:
+            flat_name = _leaf_lookup(names, path)
+        else:
+            flat_name = "_".join(subtree) + "_" + "_".join(
+                p.key for p in path
+            )
+        return hypernet_params[flat_name].reshape(tuple(shape))
+
+    return jax.tree_util.tree_map_with_path(_rebuild, shapes)

@@ -61,6 +61,32 @@ def make_train_step(
 
     generation_flag = model.hypernet.base_net_metadata["generation_flag"]
 
+    # Hoist the SHARED image trunk's forward out of the per-sample vmap:
+    # under vmap the closed-over trunk's weight gradients lower to
+    # per-sample multiply+reduce fusions on the VPU (~15 ms of the 163 ms
+    # bs=64 step, round-3 profile); batched outside the vmap they are
+    # ordinary MXU matmuls. The trunk does not depend on the sample's task,
+    # so the per-sample loss consumes injected patch embeddings instead
+    # (ViT._patchify honors them). Opt-in via config["hoist_shared_trunk"].
+    hoist_trunk = bool(
+        config.get("hoist_shared_trunk", False)
+        and config["base_net_kwargs"].get("model_type") == "vit"
+        and vit_kwargs.get("encoder_type") in ("DINOv2", "CLIP")
+        and float(vit_kwargs.get("image_embedding_noise", 0.0)) == 0.0
+        and not vit_kwargs.get("sow_dino_attention", False)
+        and "image_encoder" in tuple(hk.get("shared_modules") or ())
+    )
+
+    def _trunk_embed(trunk_tree, images):
+        return model.base_net.apply(
+            {"params": {"encoder": {"image_encoder": trunk_tree}}},
+            images,
+            True,
+            method=lambda mdl, images, train: (
+                mdl.encoder._pretrained_embeddings(images, train)
+            ),
+        )
+
     # Delta-decay name table, derived from the WeightPlan: the plan records
     # both the canonical flat name of every base-net block and where the
     # shared pretrained image-encoder subtree sits, so each pretrained leaf
@@ -242,9 +268,28 @@ def make_train_step(
         dropout_rngs = jax.random.split(dropout_rng, batch_size)
 
         def _loss_fn(params):
+            loss_batch = batch
+            if hoist_trunk:
+                from hypervla_tpu.models.hypernetwork import (
+                    rebuild_shared_subtree,
+                )
+
+                trunk_tree = rebuild_shared_subtree(
+                    params, model.hypernet.base_net_metadata
+                )
+                emb = _trunk_embed(
+                    trunk_tree,
+                    batch["observation"]["image_primary"].squeeze(1),
+                )
+                loss_batch = dict(
+                    batch,
+                    observation=dict(
+                        batch["observation"], patch_embeddings=emb
+                    ),
+                )
             losses, metrics = jax.vmap(
                 sample_loss_fn, in_axes=(None, 0, 0, None)
-            )(params, batch, dropout_rngs, state.step)
+            )(params, loss_batch, dropout_rngs, state.step)
             task_metrics = {}
             if task_index is not None:
                 for task_name in task_index:

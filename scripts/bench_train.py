@@ -44,6 +44,9 @@ def main():
                          "recompute elementwise backward)")
     ap.add_argument("--dtype", type=str, default=None,
                     help="trunk compute dtype override (e.g. bfloat16)")
+    ap.add_argument("--hoist-trunk", action="store_true",
+                    help="hoist the shared DINO trunk forward out of the "
+                         "per-sample vmap (weight grads become MXU matmuls)")
     ap.add_argument("--ln", type=str, default=None,
                     help="trunk LayerNorm impl: 'dot' = MXU ones-dot "
                          "statistics with the custom-VJP backward "
@@ -109,6 +112,8 @@ def main():
         )
         config = model.config
     config["optimizer"]["grad_accumulation_steps"] = args.accum
+    if args.hoist_trunk:
+        config["hoist_shared_trunk"] = True
     if args.packed:
         config["optimizer"]["packed"] = True
 
@@ -189,6 +194,7 @@ def main():
         "trunk_dtype": args.dtype or "float32",
         "remat_policy": args.remat_policy,
         "ln": args.ln,
+        "hoist_trunk": args.hoist_trunk,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
         "effective_batch": effective_batch,
