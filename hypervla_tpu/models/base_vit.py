@@ -103,6 +103,8 @@ class ViT(nn.Module):
     # "pallas_serving": bs=1 inference trunk as one Pallas weight-streaming
     # kernel (ops/dino_layer.py); needs the "trunk_kernel" collection
     dino_layers_impl: Optional[str] = None
+    # attention softmax with MXU sum reductions (pairs with "dot" LN)
+    dino_dot_softmax: bool = False
 
     def setup(self):
         if self.encoder_type == "DINOv2":
@@ -119,6 +121,7 @@ class ViT(nn.Module):
                 remat=self.remat_dino,
                 remat_policy=self.dino_remat_policy,
                 layers_impl=self.dino_layers_impl,
+                dot_softmax=self.dino_dot_softmax,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

@@ -272,6 +272,9 @@ class _SelfAttention(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     flash_trainable: bool = False
+    # softmax with the exp-sum (fwd) and sum(g*p) (bwd) reductions on the
+    # MXU (ops/layer_norm.py::softmax_dot) — pairs with fused_ln="dot"
+    dot_softmax: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -312,9 +315,14 @@ class _SelfAttention(nn.Module):
         # (and kept for backward) in the compute dtype — at bf16 this halves
         # the dominant HBM term of the trunk's backward pass, the
         # (batch, heads, 257, 257) probability tensors
-        attn_weights = jax.nn.softmax(
-            attn_weights.astype(jnp.float32), axis=-1
-        ).astype(self.dtype)
+        if self.dot_softmax:
+            from hypervla_tpu.ops.layer_norm import softmax_dot
+
+            attn_weights = softmax_dot(attn_weights).astype(self.dtype)
+        else:
+            attn_weights = jax.nn.softmax(
+                attn_weights.astype(jnp.float32), axis=-1
+            ).astype(self.dtype)
         attn_output = jnp.einsum("...hqk,...khd->...qhd", attn_weights, v)
         attn_output = attn_output.reshape(attn_output.shape[:2] + (-1,))
         if output_attentions:
@@ -327,12 +335,14 @@ class _Attention(nn.Module):
     dtype: Dtype = jnp.float32
     use_flash: bool = False
     flash_trainable: bool = False
+    dot_softmax: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         outputs = _SelfAttention(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
-            flash_trainable=self.flash_trainable, name="attention",
+            flash_trainable=self.flash_trainable,
+            dot_softmax=self.dot_softmax, name="attention",
         )(hidden_states, output_attentions=output_attentions)
         attn = _SelfOutput(self.config, dtype=self.dtype, name="output")(outputs[0])
         return (attn,) + outputs[1:]
@@ -461,6 +471,7 @@ class _Layer(nn.Module):
     use_flash: bool = False
     flash_trainable: bool = False
     fused_ln: Union[bool, str] = False
+    dot_softmax: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -470,7 +481,8 @@ class _Layer(nn.Module):
         )
         attn_outputs = _Attention(
             c, dtype=self.dtype, use_flash=self.use_flash,
-            flash_trainable=self.flash_trainable, name="attention"
+            flash_trainable=self.flash_trainable,
+            dot_softmax=self.dot_softmax, name="attention"
         )(normed, output_attentions=output_attentions)
         attn = _LayerScale(c, dtype=self.dtype, name="layer_scale1")(
             attn_outputs[0]
@@ -513,6 +525,7 @@ class _LayerCollection(nn.Module):
     use_flash: bool = False
     flash_trainable: bool = False
     fused_ln: Union[bool, str] = False
+    dot_softmax: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -533,8 +546,9 @@ class _LayerCollection(nn.Module):
         for i in range(self.config.num_hidden_layers):
             outputs = layer_cls(
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
-            flash_trainable=self.flash_trainable,
-                fused_ln=self.fused_ln, name=str(i),
+                flash_trainable=self.flash_trainable,
+                fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
+                name=str(i),
             )(hidden_states, output_attentions)
             hidden_states = outputs[0]
             if output_attentions:
@@ -550,13 +564,15 @@ class _ScanBlock(nn.Module):
     use_flash: bool = False
     flash_trainable: bool = False
     fused_ln: Union[bool, str] = False
+    dot_softmax: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         out = _Layer(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
-            fused_ln=self.fused_ln, name="layer",
+            fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
+            name="layer",
         )(carry)
         # fp32 layer-scale params upcast the residual; keep the carry dtype
         return out[0].astype(carry.dtype), None
@@ -569,6 +585,7 @@ class _Encoder(nn.Module):
     flash_trainable: bool = False
     scan_layers: bool = False
     fused_ln: Union[bool, str] = False
+    dot_softmax: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -598,7 +615,8 @@ class _Encoder(nn.Module):
         return _LayerCollection(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
-            fused_ln=self.fused_ln, remat=self.remat,
+            fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
+            remat=self.remat,
             remat_policy=self.remat_policy, name="layer",
         )(hidden_states, output_attentions=output_attentions)
 
@@ -617,6 +635,7 @@ class DINOv2Model(nn.Module):
     scan_layers: bool = False
     # single-pass Pallas LayerNorm (inference-only serving path)
     fused_ln: Union[bool, str] = False
+    dot_softmax: bool = False
     # rematerialize layer activations in backward (fit bigger batches)
     remat: bool = False
     # named jax.checkpoint policy for the layers (see _remat_policy);
@@ -666,6 +685,7 @@ class DINOv2Model(nn.Module):
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
                 flash_trainable=self.flash_trainable,
                 scan_layers=self.scan_layers, fused_ln=self.fused_ln,
+                dot_softmax=self.dot_softmax,
                 remat=self.remat, remat_policy=self.remat_policy,
                 name="encoder",
             )(x, output_attentions=output_attentions)

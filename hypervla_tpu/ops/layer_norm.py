@@ -140,3 +140,37 @@ def _layer_norm_dot_bwd(eps, res, g):
 
 
 layer_norm_dot.defvjp(_layer_norm_dot_fwd, _layer_norm_dot_bwd)
+
+
+@jax.custom_vjp
+def softmax_dot(x):
+    """Softmax over the last axis with the SUM reductions on the MXU.
+
+    The attention-probability softmax on [B,12,257,257] logits is another
+    VPU cross-lane-reduce hotspot (~18 ms of stats fusions in the bs=64
+    round-3 profile, forward + backward). The max still has to be a VPU
+    reduce (no dot trick for max), but the exp-sum and the backward's
+    sum(g*p) row reduction both become ones-dots. fp32 internals, output
+    in x.dtype — matches jax.nn.softmax(x.astype(f32)).astype(x.dtype)
+    up to summation order."""
+    y, _ = _softmax_dot_fwd(x)
+    return y
+
+
+def _softmax_dot_fwd(x):
+    xf = x.astype(jnp.float32)
+    m = jnp.max(xf, axis=-1, keepdims=True)
+    e = jnp.exp(xf - m)
+    denom = _row_sums_dot(e)
+    p = (e / denom).astype(x.dtype)
+    return p, p
+
+
+def _softmax_dot_bwd(p, g):
+    pf = p.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    dot = _row_sums_dot(gf * pf)
+    return ((gf - dot) * pf).astype(p.dtype),
+
+
+softmax_dot.defvjp(_softmax_dot_fwd, _softmax_dot_bwd)

@@ -44,6 +44,8 @@ def main():
                          "recompute elementwise backward)")
     ap.add_argument("--dtype", type=str, default=None,
                     help="trunk compute dtype override (e.g. bfloat16)")
+    ap.add_argument("--dot-softmax", action="store_true",
+                    help="attention softmax with MXU sum reductions")
     ap.add_argument("--hoist-trunk", action="store_true",
                     help="hoist the shared DINO trunk forward out of the "
                          "per-sample vmap (weight grads become MXU matmuls)")
@@ -90,7 +92,8 @@ def main():
             "flash_attention_trainable"
         ] = True
         config["base_net_kwargs"]["vit_kwargs"]["sow_dino_attention"] = False
-    if args.remat or args.flash or args.remat_policy or args.ln:
+    if (args.remat or args.flash or args.remat_policy or args.ln
+            or args.dot_softmax):
         if args.remat:
             config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         if args.remat_policy:
@@ -101,6 +104,8 @@ def main():
             config["base_net_kwargs"]["vit_kwargs"]["fused_layer_norm"] = (
                 args.ln if args.ln != "pallas" else True
             )
+        if args.dot_softmax:
+            config["base_net_kwargs"]["vit_kwargs"]["dino_dot_softmax"] = True
         from hypervla_tpu.models.hypervla import HyperVLA
 
         model = HyperVLA.from_config(
@@ -195,6 +200,7 @@ def main():
         "remat_policy": args.remat_policy,
         "ln": args.ln,
         "hoist_trunk": args.hoist_trunk,
+        "dot_softmax": args.dot_softmax,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
         "effective_batch": effective_batch,

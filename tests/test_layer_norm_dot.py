@@ -99,3 +99,28 @@ def test_grad_through_dinov2_trunk_bf16():
     cos_flax = cosine(gref, gbf)
     cos_dot = cosine(gref, gdot)
     assert cos_dot > cos_flax - 0.02, (cos_dot, cos_flax)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_softmax_dot_matches_jax_softmax(dtype):
+    from hypervla_tpu.ops.layer_norm import softmax_dot
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 4, 57, 257) * 4, dtype
+    )
+    got = softmax_dot(x).astype(jnp.float32)
+    ref = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
+    tol = 5e-6 if dtype == jnp.float32 else 5e-3
+    assert float(jnp.abs(got - ref).max()) < tol
+    np.testing.assert_allclose(
+        np.asarray(got.sum(-1)), 1.0, atol=5e-3
+    )
+
+    g = jnp.asarray(np.random.RandomState(1).randn(2, 4, 57, 257), dtype)
+    ref_dx = jax.vjp(
+        lambda v: jax.nn.softmax(v, axis=-1), x.astype(jnp.float32)
+    )[1](g.astype(jnp.float32))[0]
+    got_dx = jax.vjp(softmax_dot, x)[1](g)[0].astype(jnp.float32)
+    assert float(jnp.abs(got_dx - ref_dx).max()) < (
+        5e-6 if dtype == jnp.float32 else 2e-2
+    )
