@@ -17,6 +17,7 @@ Prints ONE JSON line:
 vs_baseline is against the 1 kHz/chip north-star target from BASELINE.json.
 """
 import json
+import logging
 import time
 
 import jax
@@ -72,8 +73,52 @@ def main():
             method=BaseNetwork.predict_action,
         )
 
+    # Pallas weight-streaming trunk (ops/dino_layer.py) for the bs=1
+    # headline loop; the batched paths below keep the XLA step (the kernel
+    # is bs=1). HYPERVLA_TRUNK_KERNEL=1 enables; the default follows the
+    # measured on-chip winner (PERF.md round-3 serving section).
+    import os
+
+    trunk_kernel = os.environ.get("HYPERVLA_TRUNK_KERNEL", "0") == "1"
+    if trunk_kernel:
+        try:
+            from hypervla_tpu.ops.serving import make_pallas_trunk_net
+
+            serve_net, variables = make_pallas_trunk_net(model, base_params)
+            variables = jax.device_put(variables)
+
+            @jax.jit
+            def kernel_step(variables, images, token_embedding, pad_mask,
+                            rng):
+                return serve_net.apply(
+                    variables,
+                    images.squeeze(1),
+                    token_embedding,
+                    pad_mask,
+                    rng=rng,
+                    rngs={"dropout": rng},
+                    train=False,
+                    method=BaseNetwork.predict_action,
+                )
+
+            a = kernel_step(variables, images, token_embedding, pad_mask,
+                            rng)
+            jax.block_until_ready(a)
+
+            def headline_step(images, token_embedding, pad_mask, rng):
+                return kernel_step(variables, images, token_embedding,
+                                   pad_mask, rng)
+        except Exception as exc:  # fall back to the XLA trunk
+            logging.warning("trunk kernel unavailable (%s); XLA path", exc)
+            trunk_kernel = False
+    if not trunk_kernel:
+        def headline_step(images, token_embedding, pad_mask, rng):
+            return step(base_params, images, token_embedding, pad_mask, rng)
+
     # warmup + compile
     action = step(base_params, images, token_embedding, pad_mask, rng)
+    jax.block_until_ready(action)
+    action = headline_step(images, token_embedding, pad_mask, rng)
     jax.block_until_ready(action)
 
     # timing windows spread over ~20s: multi-tenant contention comes in
@@ -84,7 +129,7 @@ def main():
     for _ in range(n_trials):
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            action = step(base_params, images, token_embedding, pad_mask, rng)
+            action = headline_step(images, token_embedding, pad_mask, rng)
         jax.block_until_ready(action)
         window_s.append((time.perf_counter() - t0) / n_iters)
         time.sleep(2.0)
@@ -153,7 +198,7 @@ def main():
         trace_dir = tempfile.mkdtemp(prefix="bench_trace_")
         jax.profiler.start_trace(trace_dir)
         for _ in range(10):
-            action = step(base_params, images, token_embedding, pad_mask, rng)
+            action = headline_step(images, token_embedding, pad_mask, rng)
         jax.block_until_ready(action)
         jax.profiler.stop_trace()
         pbs = sorted(
@@ -195,6 +240,7 @@ def main():
         "unit": "actions/s",
         "vs_baseline": round(actions_per_sec / 1000.0, 4),
         "weights": weights_mode("dinov2"),
+        "trunk": "pallas_kernel" if trunk_kernel else "xla",
         "aux": {
             "per_step_ms_p50": round(1000.0 * p50, 3),
             "per_step_ms_p90": round(1000.0 * p90, 3),
