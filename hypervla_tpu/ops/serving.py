@@ -159,17 +159,27 @@ def make_serving_step(
     crop: bool = True,
     ensemble_temp: float = 0.0,
     ensemble: bool = True,
+    trunk_kernel: bool = False,
 ):
     """Builds (step_fn, init_history) for fused closed-loop serving.
 
     step_fn(base_params, frame_u8, token_embedding, history, step_idx, rng)
         -> (action[action_dim], new_history)
     history: (pred_horizon, pred_horizon, action_dim) rolling chunk buffer.
+    trunk_kernel=True runs the DINOv2 trunk as the Pallas weight-streaming
+    kernel: base_params must then be the `variables` dict returned by
+    make_pallas_trunk_net (params + trunk_kernel collections).
     """
     from hypervla_tpu.models.base_network import BaseNetwork
 
     horizon = model.config["base_net_kwargs"]["action_horizon"]
     action_dim = model.config["base_net_kwargs"]["action_dim"]
+    serve_net = model.base_net
+    if trunk_kernel:
+        vit_kwargs = dict(model.config["base_net_kwargs"]["vit_kwargs"])
+        vit_kwargs["dino_layers_impl"] = "pallas_serving"
+        vit_kwargs["sow_dino_attention"] = False
+        serve_net = model.base_net.clone(vit_kwargs=vit_kwargs)
 
     mean = jnp.asarray(unnorm_stats.get("mean", np.zeros(action_dim)),
                        jnp.float32)
@@ -204,8 +214,8 @@ def make_serving_step(
         images = img[None, None]  # (batch, window, H, W, C)
 
         # ---- generated base-net forward ----
-        raw = model.base_net.apply(
-            {"params": base_params},
+        raw = serve_net.apply(
+            base_params if trunk_kernel else {"params": base_params},
             images.squeeze(1),
             token_embedding,
             jnp.ones((1, 1)),

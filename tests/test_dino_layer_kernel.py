@@ -144,3 +144,78 @@ def test_make_pallas_trunk_net_strips_layer_leaves():
     assert tk["p"].shape == (12, 6, 768)
     # untouched non-trunk leaves survive
     assert variables["params"]["head"]["kernel"].shape == (4, 4)
+
+
+@pytest.mark.slow
+def test_make_serving_step_trunk_kernel_matches_xla():
+    """Full serving tick (preprocess -> generated base-net -> unnorm ->
+    ensemble) with trunk_kernel=True matches the XLA-trunk tick."""
+    import types
+
+    from hypervla_tpu.configs import flagship_pretrain_config
+    from hypervla_tpu.models.base_network import BaseNetwork
+    from hypervla_tpu.ops.serving import (
+        make_pallas_trunk_net,
+        make_serving_step,
+        prepare_serving_params,
+    )
+
+    config = flagship_pretrain_config()
+    bk = config["base_net_kwargs"]
+    bk["vit_kwargs"]["encoder_dtype"] = "bfloat16"
+    bk["vit_kwargs"]["sow_dino_attention"] = False
+    bk["vit_kwargs"]["use_flash_attention"] = False
+    base_net = BaseNetwork(
+        model_type=bk["model_type"],
+        action_head_type=bk["action_head_type"],
+        octo_kwargs=config.get("model", {}),
+        cnn_kwargs=bk.get("cnn_kwargs", {}),
+        vit_kwargs=bk["vit_kwargs"],
+        action_head_kwargs=bk.get("action_head_kwargs", {}),
+        action_horizon=bk["action_horizon"],
+        action_dim=bk["action_dim"],
+    )
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.randint(
+        rng, (1, 1, 224, 224, 3), 0, 255, jnp.int32
+    ).astype(jnp.uint8)
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 768))
+    params = base_net.init(
+        {"params": rng, "dropout": rng},
+        {
+            "observation": {
+                "image_primary": images,
+                "timestep_pad_mask": jnp.ones((1, 1)),
+            },
+            "task": {"language_instruction": {"token_embedding": emb}},
+            "action": jnp.zeros((1, 1, bk["action_horizon"], bk["action_dim"])),
+            "action_pad_mask": jnp.ones(
+                (1, 1, bk["action_horizon"], bk["action_dim"]), bool
+            ),
+        },
+    )["params"]
+
+    model = types.SimpleNamespace(config=config, base_net=base_net)
+    params = prepare_serving_params(model, params, image_size=224)
+    stats = {"mean": np.zeros(7), "std": np.ones(7)}
+
+    step_xla, init_hist = make_serving_step(
+        model, stats, crop=False, ensemble=False
+    )
+    _, variables = make_pallas_trunk_net(model, params)
+    step_kern, _ = make_serving_step(
+        model, stats, crop=False, ensemble=False, trunk_kernel=True
+    )
+
+    frame = np.asarray(images[0, 0])
+    a_ref, _ = step_xla(
+        params, frame, emb, init_hist(), jnp.zeros((), jnp.int32), rng
+    )
+    a_kern, _ = step_kern(
+        variables, frame, emb, init_hist(), jnp.zeros((), jnp.int32), rng
+    )
+    a_ref = np.asarray(a_ref, np.float32)
+    a_kern = np.asarray(a_kern, np.float32)
+    assert np.isfinite(a_kern).all()
+    scale = np.abs(a_ref).max() + 1e-3
+    assert np.abs(a_ref - a_kern).max() < 0.05 * scale, (a_ref, a_kern)
