@@ -39,6 +39,7 @@ class InferenceWrapper:
         save_attention_map: bool = False,
         padded_resize: bool = False,
         fused_serving: bool = False,
+        trunk_kernel: bool = False,
     ) -> None:
         self.model = model
         self.policy_setup = policy_setup
@@ -94,6 +95,9 @@ class InferenceWrapper:
         )
         self._serving_step = None
         self._serving_history = None
+        # run the DINOv2 trunk as the Pallas weight-streaming kernel
+        # (ops/dino_layer.py; TPU, bs=1, DINOv2-base only)
+        self.trunk_kernel = bool(trunk_kernel and self.fused_serving)
 
         if model is not None and model.dataset_statistics is not None:
             if "action" in model.dataset_statistics:
@@ -162,6 +166,14 @@ class InferenceWrapper:
         self.base_params = prepare_serving_params(
             self.model, self.base_params, image_size=self.image_size
         )
+        if self.trunk_kernel:
+            from hypervla_tpu.ops.serving import make_pallas_trunk_net
+
+            # per episode: stack the trunk into the kernel layout; the
+            # serving step then consumes the variables dict directly
+            _, self.base_params = make_pallas_trunk_net(
+                self.model, self.base_params
+            )
         self.instruction_dict = instruction_dict
         if self.fused_serving:
             if self._serving_step is None:
@@ -177,6 +189,7 @@ class InferenceWrapper:
                     crop=self.crop,
                     ensemble_temp=self.action_ensemble_temp,
                     ensemble=self.action_ensemble,
+                    trunk_kernel=self.trunk_kernel,
                 )
                 self._init_history = init_history
             self._serving_history = self._init_history()
