@@ -39,11 +39,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HIDDEN = 768
-_MLP = 3072
-_HEADS = 12
-_HEAD_DIM = 64
-_CHUNK = 1536
+_HEAD_DIM = 64  # all non-SwiGLU DINOv2 variants (small/base/large)
 _STAGES = 6
 
 # p-array row indices (per-layer fp32 LN/layer-scale parameters)
@@ -72,11 +68,14 @@ def _gelu_exact_f32(h_bf16):
 
 
 def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
-            x_s, n_s, qkv_s, h_s, acc_s, *, eps: float):
+            x_s, n_s, qkv_s, h_s, acc_s, *, eps: float, hidden: int,
+            heads: int):
+    chunk = 2 * hidden
+    mlp = 4 * hidden
     i = pl.program_id(0)
     s = pl.program_id(1)
-    w = w_ref[0, 0]          # (768, 1536) bf16
-    bias = b_ref[0, 0]       # (1536,) fp32
+    w = w_ref[0, 0]          # (hidden, 2*hidden) bf16
+    bias = b_ref[0, 0]       # (2*hidden,) fp32
 
     @pl.when((i == 0) & (s == 0))
     def _init():
@@ -90,22 +89,22 @@ def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
             n, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
-        qkv_s[:, 0:_CHUNK] = qk
+        qkv_s[:, 0:chunk] = qk
 
     @pl.when(s == 1)
     def _attn():
         n = n_s[...]
         v = jax.lax.dot_general(
-            n, w[:, 0:_HIDDEN], (((1,), (0,)), ((), ())),
+            n, w[:, 0:hidden], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + bias[0:_HIDDEN].astype(jnp.bfloat16)
-        qkv = qkv_s[:, 0:_CHUNK]
+        ).astype(jnp.bfloat16) + bias[0:hidden].astype(jnp.bfloat16)
+        qkv = qkv_s[:, 0:chunk]
         # 1/sqrt(head_dim) = 0.125: exact in bf16, applied to q as in the
         # XLA path (models/encoders/dinov2.py::_SelfAttention)
-        q = qkv[:, 0:_HIDDEN] * jnp.bfloat16(0.125)
-        k = qkv[:, _HIDDEN:_CHUNK]
+        q = qkv[:, 0:hidden] * jnp.bfloat16(0.125)
+        k = qkv[:, hidden:chunk]
         outs = []
-        for h in range(_HEADS):
+        for h in range(heads):
             lo, hi = h * _HEAD_DIM, (h + 1) * _HEAD_DIM
             # the XLA path's bf16 einsum rounds the scores to bf16 before
             # the fp32 softmax; reproduce that rounding for parity
@@ -126,9 +125,9 @@ def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
             )
         ao = jnp.concatenate(outs, axis=1)
         attn_out = jax.lax.dot_general(
-            ao, w[:, _HIDDEN:_CHUNK], (((1,), (0,)), ((), ())),
+            ao, w[:, hidden:chunk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + bias[_HIDDEN:_CHUNK].astype(jnp.bfloat16)
+        ).astype(jnp.bfloat16) + bias[hidden:chunk].astype(jnp.bfloat16)
         ls1 = p_ref[0, _LS1].astype(jnp.bfloat16)
         x_s[...] = x_s[...] + ls1 * attn_out
 
@@ -148,11 +147,11 @@ def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
 
         @pl.when(s == 2)
         def _store_a():
-            h_s[:, 0:_CHUNK] = h
+            h_s[:, 0:chunk] = h
 
         @pl.when(s == 3)
         def _store_b():
-            h_s[:, _CHUNK:_MLP] = h
+            h_s[:, chunk:mlp] = h
 
     # w holds W2^T chunks (768 out, 1536 in): contract the h columns
     # against dim 1 so the fp32 accumulator rounds once, like XLA's
@@ -160,18 +159,18 @@ def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
     @pl.when(s == 4)
     def _fc2a():
         acc_s[...] = jax.lax.dot_general(
-            h_s[:, 0:_CHUNK], w, (((1,), (1,)), ((), ())),
+            h_s[:, 0:chunk], w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
     @pl.when(s == 5)
     def _fc2b():
         part = jax.lax.dot_general(
-            h_s[:, _CHUNK:_MLP], w, (((1,), (1,)), ((), ())),
+            h_s[:, chunk:mlp], w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         y2 = (acc_s[...] + part).astype(jnp.bfloat16) + bias[
-            0:_HIDDEN
+            0:hidden
         ].astype(jnp.bfloat16)
         ls2 = p_ref[0, _LS2].astype(jnp.bfloat16)
         x_s[...] = x_s[...] + ls2 * y2
@@ -193,28 +192,30 @@ def dino_layers_serving(x, w, b, p, eps: float = 1e-6,
     interpret = interpret or jax.default_backend() == "cpu"
     seq, hidden = x.shape
     layers = w.shape[0]
-    assert hidden == _HIDDEN and w.shape[1:] == (_STAGES, _HIDDEN, _CHUNK)
-    assert b.shape == (layers, _STAGES, _CHUNK)
-    assert p.shape == (layers, _STAGES, _HIDDEN)
+    chunk = 2 * hidden
+    heads = hidden // _HEAD_DIM
+    assert w.shape[1:] == (_STAGES, hidden, chunk), w.shape
+    assert b.shape == (layers, _STAGES, chunk)
+    assert p.shape == (layers, _STAGES, hidden)
     x = x.astype(jnp.bfloat16)
 
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, hidden=hidden, heads=heads),
         grid=(layers, _STAGES),
         in_specs=[
-            pl.BlockSpec((seq, _HIDDEN), lambda i, s: (0, 0)),
-            pl.BlockSpec((1, 1, _HIDDEN, _CHUNK), lambda i, s: (i, s, 0, 0)),
-            pl.BlockSpec((1, 1, _CHUNK), lambda i, s: (i, s, 0)),
-            pl.BlockSpec((1, _STAGES, _HIDDEN), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((seq, hidden), lambda i, s: (0, 0)),
+            pl.BlockSpec((1, 1, hidden, chunk), lambda i, s: (i, s, 0, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, s: (i, s, 0)),
+            pl.BlockSpec((1, _STAGES, hidden), lambda i, s: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((seq, _HIDDEN), lambda i, s: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((seq, _HIDDEN), jnp.bfloat16),
+        out_specs=pl.BlockSpec((seq, hidden), lambda i, s: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((seq, hidden), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((seq, _HIDDEN), jnp.bfloat16),   # x (residual)
-            pltpu.VMEM((seq, _HIDDEN), jnp.bfloat16),   # LN output
-            pltpu.VMEM((seq, _CHUNK), jnp.bfloat16),    # q|k
-            pltpu.VMEM((seq, _MLP), jnp.bfloat16),      # MLP hidden
-            pltpu.VMEM((seq, _HIDDEN), jnp.float32),    # fc2 accumulator
+            pltpu.VMEM((seq, hidden), jnp.bfloat16),    # x (residual)
+            pltpu.VMEM((seq, hidden), jnp.bfloat16),    # LN output
+            pltpu.VMEM((seq, chunk), jnp.bfloat16),     # q|k
+            pltpu.VMEM((seq, 4 * hidden), jnp.bfloat16),  # MLP hidden
+            pltpu.VMEM((seq, hidden), jnp.float32),     # fc2 accumulator
         ],
         interpret=interpret,
     )(x, w, b, p)
@@ -226,31 +227,35 @@ def stack_serving_layer_params(layer_params, layerscale_value: float = 1.0):
     converted from HF checkpoints). Run once per episode off the hot path
     (ops/serving.py::prepare_serving_params)."""
     num_layers = len(layer_params)
-    w = np.zeros((num_layers, _STAGES, _HIDDEN, _CHUNK), np.float32)
-    b = np.zeros((num_layers, _STAGES, _CHUNK), np.float32)
-    p = np.zeros((num_layers, _STAGES, _HIDDEN), np.float32)
+    hidden = int(
+        np.asarray(layer_params["0"]["norm1"]["scale"]).shape[0]
+    )
+    chunk = 2 * hidden
+    w = np.zeros((num_layers, _STAGES, hidden, chunk), np.float32)
+    b = np.zeros((num_layers, _STAGES, chunk), np.float32)
+    p = np.zeros((num_layers, _STAGES, hidden), np.float32)
     for i in range(num_layers):
         lp = layer_params[str(i)]
         att = lp["attention"]["attention"]
         out = lp["attention"]["output"]["dense"]
         fc1 = lp["mlp"]["fc1"]
         fc2 = lp["mlp"]["fc2"]
-        w[i, 0, :, 0:_HIDDEN] = att["query"]["kernel"]
-        w[i, 0, :, _HIDDEN:] = att["key"]["kernel"]
-        w[i, 1, :, 0:_HIDDEN] = att["value"]["kernel"]
-        w[i, 1, :, _HIDDEN:] = out["kernel"]
-        w[i, 2] = fc1["kernel"][:, 0:_CHUNK]
-        w[i, 3] = fc1["kernel"][:, _CHUNK:]
-        w2t = np.asarray(fc2["kernel"], np.float32).T  # (768, 3072)
-        w[i, 4] = w2t[:, 0:_CHUNK]
-        w[i, 5] = w2t[:, _CHUNK:]
-        b[i, 0, 0:_HIDDEN] = att["query"]["bias"]
-        b[i, 0, _HIDDEN:] = att["key"]["bias"]
-        b[i, 1, 0:_HIDDEN] = att["value"]["bias"]
-        b[i, 1, _HIDDEN:] = out["bias"]
-        b[i, 2] = fc1["bias"][0:_CHUNK]
-        b[i, 3] = fc1["bias"][_CHUNK:]
-        b[i, 5, 0:_HIDDEN] = fc2["bias"]
+        w[i, 0, :, 0:hidden] = att["query"]["kernel"]
+        w[i, 0, :, hidden:] = att["key"]["kernel"]
+        w[i, 1, :, 0:hidden] = att["value"]["kernel"]
+        w[i, 1, :, hidden:] = out["kernel"]
+        w[i, 2] = fc1["kernel"][:, 0:chunk]
+        w[i, 3] = fc1["kernel"][:, chunk:]
+        w2t = np.asarray(fc2["kernel"], np.float32).T  # (hidden, 4*hidden)
+        w[i, 4] = w2t[:, 0:chunk]
+        w[i, 5] = w2t[:, chunk:]
+        b[i, 0, 0:hidden] = att["query"]["bias"]
+        b[i, 0, hidden:] = att["key"]["bias"]
+        b[i, 1, 0:hidden] = att["value"]["bias"]
+        b[i, 1, hidden:] = out["bias"]
+        b[i, 2] = fc1["bias"][0:chunk]
+        b[i, 3] = fc1["bias"][chunk:]
+        b[i, 5, 0:hidden] = fc2["bias"]
         p[i, _LN1_S] = lp["norm1"]["scale"]
         p[i, _LN1_B] = lp["norm1"]["bias"]
         p[i, _LN2_S] = lp["norm2"]["scale"]

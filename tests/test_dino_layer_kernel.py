@@ -219,3 +219,25 @@ def test_make_serving_step_trunk_kernel_matches_xla():
     assert np.isfinite(a_kern).all()
     scale = np.abs(a_ref).max() + 1e-3
     assert np.abs(a_ref - a_kern).max() < 0.05 * scale, (a_ref, a_kern)
+
+
+@pytest.mark.parametrize("hidden,heads", [(384, 6), (1024, 16)])
+def test_kernel_other_geometries(hidden, heads):
+    """dinov2-small and dinov2-large geometries run through the same
+    kernel (head_dim 64, mlp_ratio 4)."""
+    cfg = DINOv2Config(
+        hidden_size=hidden, num_hidden_layers=2, num_attention_heads=heads
+    )
+    module = _LayerCollection(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = (jax.random.normal(rng, (1, 128, hidden)) * 0.5).astype(jnp.bfloat16)
+    params = module.init(rng, x)["params"]
+    ref, _ = module.apply({"params": params}, x)
+    w, b, p = stack_serving_layer_params(params)
+    assert w.shape == (2, 6, hidden, 2 * hidden)
+    got = dino_layers_serving(x[0], w, b, p, interpret=True)
+    err = np.abs(
+        np.asarray(ref[0], np.float32) - np.asarray(got, np.float32)
+    ).max()
+    scale = np.abs(np.asarray(ref[0], np.float32)).max()
+    assert err < 0.03 * max(scale, 1.0), (err, scale)
