@@ -260,3 +260,25 @@ def disable_unused_attention_capture(config):
             "sow_dino_attention", False
         )
     return config
+
+
+def apply_fast_training_preset(config):
+    """One-switch TPU training fast path: every lever measured in PERF.md
+    round 2/3, numerics-safe at bf16-training level (the fp32 default
+    config stays untouched for reference-parity goldens).
+
+    - bfloat16 trunk compute (round 2: +18% at bs=32)
+    - bf16 backward residuals via the custom-VJP exact GELU (round 3)
+    - MXU-dot LayerNorm fwd+bwd (fused_ln="dot")
+    - MXU-sum attention softmax (dino_dot_softmax)
+    - shared-trunk forward hoisted out of the per-sample vmap
+      (hoist_shared_trunk; weight grads become MXU GEMMs)
+    - no unused attention capture
+    """
+    vk = config["base_net_kwargs"]["vit_kwargs"]
+    vk["encoder_dtype"] = "bfloat16"
+    vk["fused_layer_norm"] = "dot"
+    vk["dino_dot_softmax"] = True
+    config["hoist_shared_trunk"] = True
+    disable_unused_attention_capture(config)
+    return config

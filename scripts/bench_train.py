@@ -44,6 +44,9 @@ def main():
                          "recompute elementwise backward)")
     ap.add_argument("--dtype", type=str, default=None,
                     help="trunk compute dtype override (e.g. bfloat16)")
+    ap.add_argument("--fast", action="store_true",
+                    help="apply the full fast-training preset "
+                         "(bf16 + dot LN + dot softmax + hoisted trunk)")
     ap.add_argument("--dot-softmax", action="store_true",
                     help="attention softmax with MXU sum reductions")
     ap.add_argument("--hoist-trunk", action="store_true",
@@ -92,8 +95,12 @@ def main():
             "flash_attention_trainable"
         ] = True
         config["base_net_kwargs"]["vit_kwargs"]["sow_dino_attention"] = False
+    if args.fast:
+        from hypervla_tpu.configs import apply_fast_training_preset
+
+        apply_fast_training_preset(config)
     if (args.remat or args.flash or args.remat_policy or args.ln
-            or args.dot_softmax):
+            or args.dot_softmax or args.fast):
         if args.remat:
             config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         if args.remat_policy:
@@ -196,11 +203,14 @@ def main():
     best, med = min(per_update_ms), float(np.median(per_update_ms))
     print(json.dumps({
         "metric": "flagship train step (single-jit GSPMD)",
-        "trunk_dtype": args.dtype or "float32",
+        "trunk_dtype": config["base_net_kwargs"]["vit_kwargs"].get(
+            "encoder_dtype", "float32"
+        ),
         "remat_policy": args.remat_policy,
         "ln": args.ln,
         "hoist_trunk": args.hoist_trunk,
         "dot_softmax": args.dot_softmax,
+        "fast_preset": args.fast,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
         "effective_batch": effective_batch,

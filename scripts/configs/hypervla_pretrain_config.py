@@ -9,7 +9,10 @@ from hypervla_tpu.configs import flagship_pretrain_config, pretrain_config
 
 
 def get_config(config_string: str = "vit_t,oxe"):
-    model_size, dataset = (config_string.split(",") + ["oxe"])[:2]
+    tokens = config_string.split(",")
+    fast = "fast" in tokens
+    tokens = [t for t in tokens if t != "fast"]
+    model_size, dataset = (tokens + ["oxe"])[:2]
     if model_size == "vit_t" and dataset == "oxe":
         config = flagship_pretrain_config()
     else:
@@ -24,4 +27,10 @@ def get_config(config_string: str = "vit_t,oxe"):
         config["dataset_kwargs"]["oxe_mix"] = None
         config["dataset_kwargs"].setdefault("data_dir", "")
         config["dataset_kwargs"].setdefault("dataset_kwargs_list", [])
+    if fast:
+        # "vit_t,oxe,fast": the measured TPU fast path (PERF.md) — bf16
+        # trunk, MXU-dot LN/softmax reductions, hoisted shared trunk
+        from hypervla_tpu.configs import apply_fast_training_preset
+
+        apply_fast_training_preset(config)
     return ConfigDict(config)
