@@ -390,7 +390,12 @@ def _gelu_exact(x):
     # back to the plain XLA expression.
     import os
 
-    if os.environ.get("HYPERVLA_FUSED_GELU", "1") != "0":
+    # only at training sizes: at bs=1 serving the 12 tiny custom-calls
+    # serialize against XLA's weight prefetch and cost ~21 us each
+    # (measured on-chip: device step 0.565 -> 0.722 ms), while at bs>=8
+    # the kernel removes the 100+ MB fp32 materialization it was built for
+    if (os.environ.get("HYPERVLA_FUSED_GELU", "1") != "0"
+            and x.size >= 4 * 257 * 3072):
         from hypervla_tpu.ops.gelu import gelu_exact_fused
 
         return gelu_exact_fused(x)

@@ -21,9 +21,11 @@ pallas_call whose grid streams the stacked weights in (768, 1536) chunks:
 The [257, 768] residual stream, LN outputs, qkv and MLP activations all
 stay resident in VMEM scratch for the whole 72-step grid; nothing but the
 weight chunks moves, so the floor is the one-pass weight read
-(~14.2 MB/layer). Numerics follow the XLA bf16 trunk exactly: LN stats and
-softmax in fp32, activations/residuals bf16, exact (erfc) GELU evaluated
-in fp32, fc2 accumulated in fp32 across chunks and rounded once.
+(~14.2 MB/layer). Numerics follow the XLA bf16 trunk: LN stats and
+softmax in fp32, activations/residuals bf16, exact GELU evaluated in fp32
+(polynomial erf — Mosaic lowers no erf/erfc primitive; <=2e-6 abs from the
+erfc path, see ops/gelu.py), fc2 accumulated in fp32 across chunks and
+rounded once.
 
 Forward-only (no VJP): serving path. Training keeps the differentiable
 XLA trunk. Reference surface: the per-step control loop at
@@ -59,12 +61,14 @@ def _ln_f32(x_bf16, scale_f32, bias_f32, eps):
 
 
 def _gelu_exact_f32(h_bf16):
-    """The trunk's exact (erfc) GELU: fp32 evaluation, one bf16 rounding —
-    bit-matches models/encoders/dinov2.py::_gelu_exact."""
+    """The trunk's exact GELU: fp32 evaluation, one bf16 rounding. erf is
+    the polynomial XLA uses for f32 (Mosaic has no erf/erfc primitive);
+    matches models/encoders/dinov2.py::_gelu_exact to <=2e-6 absolute —
+    see ops/gelu.py."""
+    from hypervla_tpu.ops.gelu import gelu_exact_poly_f32
+
     xf = h_bf16.astype(jnp.float32)
-    return (0.5 * xf * jax.lax.erfc(-xf * math.sqrt(0.5))).astype(
-        jnp.bfloat16
-    )
+    return gelu_exact_poly_f32(xf).astype(jnp.bfloat16)
 
 
 def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
@@ -75,7 +79,11 @@ def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
     i = pl.program_id(0)
     s = pl.program_id(1)
     w = w_ref[0, 0]          # (hidden, 2*hidden) bf16
-    bias = b_ref[0, 0]       # (2*hidden,) fp32
+    # all 6 stage biases ride in one (1, 6, 2*hidden) block per layer
+    # (Mosaic requires the -2 block dim be full or 8-divisible); the
+    # stage's row is picked dynamically here — 36 KB, noise vs the 14 MB
+    # of weights
+    bias = b_ref[0, s]       # (2*hidden,) fp32
 
     @pl.when((i == 0) & (s == 0))
     def _init():
@@ -205,7 +213,7 @@ def dino_layers_serving(x, w, b, p, eps: float = 1e-6,
         in_specs=[
             pl.BlockSpec((seq, hidden), lambda i, s: (0, 0)),
             pl.BlockSpec((1, 1, hidden, chunk), lambda i, s: (i, s, 0, 0)),
-            pl.BlockSpec((1, 1, chunk), lambda i, s: (i, s, 0)),
+            pl.BlockSpec((1, _STAGES, chunk), lambda i, s: (i, 0, 0)),
             pl.BlockSpec((1, _STAGES, hidden), lambda i, s: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((seq, hidden), lambda i, s: (0, 0)),
@@ -217,6 +225,12 @@ def dino_layers_serving(x, w, b, p, eps: float = 1e-6,
             pltpu.VMEM((seq, 4 * hidden), jnp.bfloat16),  # MLP hidden
             pltpu.VMEM((seq, hidden), jnp.float32),     # fc2 accumulator
         ],
+        # the kernel's raison d'etre is VMEM residency: blocks + scratch +
+        # the union of the 6 stage bodies' temporaries exceed the 16 MB
+        # default scoped limit (measured 30.8 MB on v5e, which has 128 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, w, b, p)
 

@@ -18,15 +18,54 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
+# Mosaic (Pallas TPU) does not lower the erf/erfc primitives, so inside
+# kernels erf is evaluated with the same Eigen-style odd/even rational
+# polynomial XLA itself uses for f32 erf (generic_fast_erf_float): measured
+# on this backend it matches jax.lax.erf to <=1 fp32 ulp (6e-7 abs), and the
+# resulting bf16 GELU differs from the lax.erfc formulation only in the
+# |gelu(x)| < 1e-2 tail, by <=2e-6 absolute (tests/test_gelu_fused.py pins
+# this envelope).
+_ERF_NUM = (  # odd numerator monomials, highest degree first
+    -2.72614225801306e-10, 2.77068142495902e-08, -2.10102402082508e-06,
+    -5.69250639462346e-05, -7.34990630326855e-04, -2.95459980854025e-03,
+    -1.60960333262415e-02,
+)
+_ERF_DEN = (  # even denominator monomials, highest degree first
+    -1.45660718464996e-05, -2.13374055278905e-04, -1.68282697438203e-03,
+    -7.37332916720468e-03, -1.42647390514189e-02,
+)
+
+
+def erf_poly_f32(x):
+    """f32 erf via XLA's own rational approximation (kernel-safe)."""
+    xc = jnp.clip(x, -4.0, 4.0)
+    x2 = xc * xc
+    p = jnp.float32(_ERF_NUM[0])
+    for c in _ERF_NUM[1:]:
+        p = x2 * p + jnp.float32(c)
+    p = xc * p
+    q = jnp.float32(_ERF_DEN[0])
+    for c in _ERF_DEN[1:]:
+        q = x2 * q + jnp.float32(c)
+    return p / q
+
+
+def gelu_exact_poly_f32(xf):
+    """Exact-GELU forward on an fp32 tensor, erf via erf_poly_f32.
+
+    0.5*x*erfc(-x/sqrt(2)) == x * 0.5*(1 + erf(x/sqrt(2))); caller rounds
+    once to the storage dtype.
+    """
+    cdf = 0.5 * (1.0 + erf_poly_f32(xf * np.float32(math.sqrt(0.5))))
+    return xf * cdf
+
 
 def _gelu_kernel(x_ref, o_ref):
     xf = x_ref[...].astype(jnp.float32)
-    o_ref[...] = (
-        0.5 * xf * jax.lax.erfc(-xf * math.sqrt(0.5))
-    ).astype(o_ref.dtype)
+    o_ref[...] = gelu_exact_poly_f32(xf).astype(o_ref.dtype)
 
 
-def gelu_exact_fused(x: jax.Array, block_rows: int = 512,
+def gelu_exact_fused(x: jax.Array, block_rows: int = 128,
                      interpret: bool = False) -> jax.Array:
     """Elementwise exact GELU over any shape; fp32 internal, one rounding."""
     interpret = interpret or jax.default_backend() == "cpu"

@@ -32,6 +32,33 @@ def test_unaligned_rows_padded_correctly():
     )
 
 
+def test_polynomial_erf_envelope():
+    """Mosaic lowers no erf/erfc primitive, so kernels use XLA's own f32
+    rational erf (ops/gelu.py::erf_poly_f32). Pin the envelope: <=1e-6 abs
+    from lax.erf, and GELU built on it differs from the lax.erfc
+    formulation only in the |gelu| < 1e-2 tail by <=5e-6 absolute."""
+    from hypervla_tpu.ops.gelu import erf_poly_f32, gelu_exact_poly_f32
+
+    x = jnp.asarray(np.linspace(-6, 6, 200_001), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(erf_poly_f32(x)), np.asarray(jax.lax.erf(x)), atol=1e-6
+    )
+    xb = jnp.asarray(
+        np.random.RandomState(0).randn(1_000_000) * 3, jnp.bfloat16
+    )
+    xf = xb.astype(jnp.float32)
+    ref = np.asarray(
+        (0.5 * xf * jax.lax.erfc(-xf * math.sqrt(0.5))).astype(jnp.bfloat16),
+        np.float32,
+    )
+    got = np.asarray(
+        gelu_exact_poly_f32(xf).astype(jnp.bfloat16), np.float32
+    )
+    assert np.abs(ref - got).max() <= 5e-6
+    big = np.abs(ref) > 1e-2
+    np.testing.assert_array_equal(ref[big], got[big])
+
+
 def test_custom_vjp_backward_unchanged():
     """The fused forward plugs into _gelu_exact's custom VJP; grads keep
     matching jax.nn.gelu autodiff."""
