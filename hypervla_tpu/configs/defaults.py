@@ -263,22 +263,24 @@ def disable_unused_attention_capture(config):
 
 
 def apply_fast_training_preset(config):
-    """One-switch TPU training fast path: every lever measured in PERF.md
-    round 2/3, numerics-safe at bf16-training level (the fp32 default
+    """One-switch TPU training fast path: every lever that WON its on-chip
+    A/B (PERF.md), numerics-safe at bf16-training level (the fp32 default
     config stays untouched for reference-parity goldens).
 
     - bfloat16 trunk compute (round 2: +18% at bs=32)
-    - bf16 backward residuals via the custom-VJP exact GELU (round 3)
-    - MXU-dot LayerNorm fwd+bwd (fused_ln="dot")
-    - MXU-sum attention softmax (dino_dot_softmax)
-    - shared-trunk forward hoisted out of the per-sample vmap
-      (hoist_shared_trunk; weight grads become MXU GEMMs)
+    - bf16 backward residuals via the custom-VJP exact GELU + the fused
+      Pallas GELU forward at training sizes (round 3; on by default)
     - no unused attention capture
+
+    Deliberately NOT included (each measured SLOWER than baseline at
+    bs=64 bf16 in the round-3 on-chip bisection — see PERF.md):
+    fused_ln="dot" (190.4 vs 182.8 ms), dino_dot_softmax (213.9 ms),
+    hoist_shared_trunk (200.8 ms). The optimization_barrier fences those
+    rewrites need force large intermediates (x*x, exp(x), per-sample
+    probs) to materialize to HBM, costing more bandwidth than the VPU
+    reduces they save. All three remain available as explicit opt-ins.
     """
     vk = config["base_net_kwargs"]["vit_kwargs"]
     vk["encoder_dtype"] = "bfloat16"
-    vk["fused_layer_norm"] = "dot"
-    vk["dino_dot_softmax"] = True
-    config["hoist_shared_trunk"] = True
     disable_unused_attention_capture(config)
     return config

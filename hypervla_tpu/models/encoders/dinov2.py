@@ -253,9 +253,38 @@ class _DotLayerNorm(nn.Module):
         )
 
 
+class _PallasTrainLayerNorm(nn.Module):
+    """Differentiable single-HBM-pass Pallas LayerNorm (training geometry).
+
+    Backed by ops/layer_norm.py::layer_norm_pallas — VMEM-resident tiles
+    with MXU-dot statistics and a custom VJP whose dscale/dbias column
+    sums accumulate in-kernel. For large-batch bf16 training where XLA's
+    cross-lane LN reduce fusions are the bottleneck; enable with
+    fused_ln="pallas_train"."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        from hypervla_tpu.ops.layer_norm import layer_norm_pallas
+
+        return layer_norm_pallas(x, scale, bias, self.epsilon).astype(
+            self.dtype
+        )
+
+
 def _layer_norm(config, dtype, fused, name):
     """fused: False -> flax nn.LayerNorm; True -> Pallas single-pass kernel;
-    "dot" -> MXU ones-dot statistics (fastest at bs=1 serving geometry)."""
+    "dot" -> MXU ones-dot statistics (fastest at bs=1 serving geometry);
+    "pallas_train" -> differentiable single-pass Pallas kernel."""
+    if fused == "pallas_train":
+        return _PallasTrainLayerNorm(
+            epsilon=config.layer_norm_eps, dtype=dtype, name=name
+        )
     if fused == "dot":
         return _DotLayerNorm(
             epsilon=config.layer_norm_eps, dtype=dtype, name=name
@@ -383,18 +412,18 @@ class _LayerScale(nn.Module):
 @jax.custom_vjp
 def _gelu_exact(x):
     # jax.nn.gelu(approximate=False)'s erfc formulation, evaluated in fp32
-    # and rounded once to the input dtype. The Pallas kernel keeps the fp32
-    # upcast in registers — XLA otherwise materializes the fp32
-    # [B,257,3072] intermediate between the fc1 and erfc fusions (202 MB at
-    # bs=64, ~1.5 ms/layer; round-3 profile). HYPERVLA_FUSED_GELU=0 falls
-    # back to the plain XLA expression.
+    # and rounded once to the input dtype. The Pallas forward
+    # (HYPERVLA_FUSED_GELU=1) is OFF by default: measured LOSSES at both
+    # geometries — bs=1 serving 0.565 -> 0.722 ms (12 tiny custom-calls
+    # serialize against XLA's weight prefetch) and bs=64 training
+    # 168.2 -> 181.6 ms even after removing its pad copies (XLA fuses this
+    # expression into the fc1 GEMM epilogue for free; an opaque
+    # custom-call is a schedule barrier). See PERF.md round-3 bisection.
+    # The custom VJP below (bf16 residual) is the part that wins and is
+    # always on.
     import os
 
-    # only at training sizes: at bs=1 serving the 12 tiny custom-calls
-    # serialize against XLA's weight prefetch and cost ~21 us each
-    # (measured on-chip: device step 0.565 -> 0.722 ms), while at bs>=8
-    # the kernel removes the 100+ MB fp32 materialization it was built for
-    if (os.environ.get("HYPERVLA_FUSED_GELU", "1") != "0"
+    if (os.environ.get("HYPERVLA_FUSED_GELU", "0") == "1"
             and x.size >= 4 * 257 * 3072):
         from hypervla_tpu.ops.gelu import gelu_exact_fused
 

@@ -65,24 +65,36 @@ def _gelu_kernel(x_ref, o_ref):
     o_ref[...] = gelu_exact_poly_f32(xf).astype(o_ref.dtype)
 
 
-def gelu_exact_fused(x: jax.Array, block_rows: int = 128,
+def gelu_exact_fused(x: jax.Array, block_rows: int = 512,
                      interpret: bool = False) -> jax.Array:
-    """Elementwise exact GELU over any shape; fp32 internal, one rounding."""
+    """Elementwise exact GELU over any shape; fp32 internal, one rounding.
+
+    No explicit padding: a ragged final block is fine for an elementwise
+    op (Pallas masks the out-of-range rows). The first version padded to
+    the block size with jnp.pad + out[:rows] — at the bs=64 training
+    shape [16448, 3072] that was TWO extra 101 MB HBM copies per call,
+    and its 128-row blocks made 129 grid steps whose per-step overhead
+    held the kernel to ~216 GB/s (round-3 profile: 0.935 ms/call vs the
+    ~0.3 ms stream floor). 512-row blocks are the largest that fit the
+    16 MB scoped-VMEM limit double-buffered (in+out)."""
+    from jax.experimental.pallas import tpu as pltpu
+
     interpret = interpret or jax.default_backend() == "cpu"
     orig_shape = x.shape
     d = orig_shape[-1]
     rows = int(np.prod(orig_shape[:-1]))
     block_rows = min(block_rows, rows)
-    xr = x.reshape(rows, d)
-    rows_pad = (rows + block_rows - 1) // block_rows * block_rows
-    if rows_pad != rows:
-        xr = jnp.pad(xr, ((0, rows_pad - rows), (0, 0)))
     out = pl.pallas_call(
         _gelu_kernel,
-        grid=(rows_pad // block_rows,),
+        grid=((rows + block_rows - 1) // block_rows,),
         in_specs=[pl.BlockSpec((block_rows, d), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((block_rows, d), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, d), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
+        # in/out double buffers + the fp32 upcast exceed the default 16 MB
+        # scoped budget at 512-row blocks; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(xr)
-    return out[:rows].reshape(orig_shape)
+    )(x.reshape(rows, d))
+    return out.reshape(orig_shape)
