@@ -268,8 +268,9 @@ def apply_fast_training_preset(config):
     config stays untouched for reference-parity goldens).
 
     - bfloat16 trunk compute (round 2: +18% at bs=32)
-    - bf16 backward residuals via the custom-VJP exact GELU + the fused
-      Pallas GELU forward at training sizes (round 3; on by default)
+    - bf16 backward residuals via the custom-VJP exact GELU (round 3)
+    - geometry-tuned fused Pallas MHA in the trunk (round 3: bs=64 step
+      168.2 -> 150.0 ms, +12%; ops/fused_attention.py)
     - no unused attention capture
 
     Deliberately NOT included (each measured SLOWER than baseline at
@@ -282,5 +283,6 @@ def apply_fast_training_preset(config):
     """
     vk = config["base_net_kwargs"]["vit_kwargs"]
     vk["encoder_dtype"] = "bfloat16"
+    vk["dino_fused_attention"] = True
     disable_unused_attention_capture(config)
     return config

@@ -105,6 +105,10 @@ class ViT(nn.Module):
     dino_layers_impl: Optional[str] = None
     # attention softmax with MXU sum reductions (pairs with "dot" LN)
     dino_dot_softmax: bool = False
+    # geometry-tuned fused Pallas MHA for the bf16 training trunk
+    # (ops/fused_attention.py; kills the head-transpose + softmax-stat
+    # fusions of the einsum path)
+    dino_fused_attention: bool = False
 
     def setup(self):
         if self.encoder_type == "DINOv2":
@@ -122,6 +126,7 @@ class ViT(nn.Module):
                 remat_policy=self.dino_remat_policy,
                 layers_impl=self.dino_layers_impl,
                 dot_softmax=self.dino_dot_softmax,
+                fused_attention=self.dino_fused_attention,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

@@ -304,6 +304,7 @@ class _SelfAttention(nn.Module):
     # softmax with the exp-sum (fwd) and sum(g*p) (bwd) reductions on the
     # MXU (ops/layer_norm.py::softmax_dot) — pairs with fused_ln="dot"
     dot_softmax: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -315,6 +316,34 @@ class _SelfAttention(nn.Module):
             kernel_init=_hf_init(c.initializer_range),
             name=name,
         )
+        if self.fused_attention and not output_attentions:
+            # geometry-tuned Pallas MHA (ops/fused_attention.py): consumes
+            # the Dense outputs in [B,S,H*D] layout directly — the XLA
+            # einsum path's head-major transposes, fp32 softmax stat
+            # fusions and probability casts (~41 ms of the bs=64 flagship
+            # step, round-3 profile) never materialize
+            from hypervla_tpu.ops.fused_attention import mha_fused_train
+
+            qf = dense("query")(hidden_states)
+            kf = dense("key")(hidden_states)
+            vf = dense("value")(hidden_states)
+            flat = hidden_states.ndim == 3
+            if not flat:  # leading dims beyond batch: flatten for the grid
+                lead = qf.shape[:-2]
+                qf, kf, vf = (
+                    t.reshape((-1,) + t.shape[-2:]) for t in (qf, kf, vf)
+                )
+            out = mha_fused_train(
+                qf.astype(jnp.bfloat16),
+                kf.astype(jnp.bfloat16),
+                vf.astype(jnp.bfloat16),
+                c.num_attention_heads,
+                float(1.0 / math.sqrt(head_dim)),
+            ).astype(self.dtype)
+            if not flat:
+                out = out.reshape(lead + out.shape[-2:])
+            return (out,)
+
         shape = hidden_states.shape[:2] + (c.num_attention_heads, head_dim)
         q = dense("query")(hidden_states).reshape(shape)
         k = dense("key")(hidden_states).reshape(shape)
@@ -365,13 +394,15 @@ class _Attention(nn.Module):
     use_flash: bool = False
     flash_trainable: bool = False
     dot_softmax: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
         outputs = _SelfAttention(
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
-            dot_softmax=self.dot_softmax, name="attention",
+            dot_softmax=self.dot_softmax,
+            fused_attention=self.fused_attention, name="attention",
         )(hidden_states, output_attentions=output_attentions)
         attn = _SelfOutput(self.config, dtype=self.dtype, name="output")(outputs[0])
         return (attn,) + outputs[1:]
@@ -506,6 +537,7 @@ class _Layer(nn.Module):
     flash_trainable: bool = False
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
@@ -516,7 +548,8 @@ class _Layer(nn.Module):
         attn_outputs = _Attention(
             c, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
-            dot_softmax=self.dot_softmax, name="attention"
+            dot_softmax=self.dot_softmax,
+            fused_attention=self.fused_attention, name="attention"
         )(normed, output_attentions=output_attentions)
         attn = _LayerScale(c, dtype=self.dtype, name="layer_scale1")(
             attn_outputs[0]
@@ -560,6 +593,7 @@ class _LayerCollection(nn.Module):
     flash_trainable: bool = False
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
+    fused_attention: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -582,6 +616,7 @@ class _LayerCollection(nn.Module):
                 self.config, dtype=self.dtype, use_flash=self.use_flash,
                 flash_trainable=self.flash_trainable,
                 fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
+            fused_attention=self.fused_attention,
                 name=str(i),
             )(hidden_states, output_attentions)
             hidden_states = outputs[0]
@@ -599,6 +634,7 @@ class _ScanBlock(nn.Module):
     flash_trainable: bool = False
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -606,6 +642,7 @@ class _ScanBlock(nn.Module):
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
             fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
+            fused_attention=self.fused_attention,
             name="layer",
         )(carry)
         # fp32 layer-scale params upcast the residual; keep the carry dtype
@@ -620,6 +657,7 @@ class _Encoder(nn.Module):
     scan_layers: bool = False
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
+    fused_attention: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -650,6 +688,7 @@ class _Encoder(nn.Module):
             self.config, dtype=self.dtype, use_flash=self.use_flash,
             flash_trainable=self.flash_trainable,
             fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
+            fused_attention=self.fused_attention,
             remat=self.remat,
             remat_policy=self.remat_policy, name="layer",
         )(hidden_states, output_attentions=output_attentions)
@@ -670,6 +709,7 @@ class DINOv2Model(nn.Module):
     # single-pass Pallas LayerNorm (inference-only serving path)
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
+    fused_attention: bool = False
     # rematerialize layer activations in backward (fit bigger batches)
     remat: bool = False
     # named jax.checkpoint policy for the layers (see _remat_policy);
@@ -720,6 +760,7 @@ class DINOv2Model(nn.Module):
                 flash_trainable=self.flash_trainable,
                 scan_layers=self.scan_layers, fused_ln=self.fused_ln,
                 dot_softmax=self.dot_softmax,
+            fused_attention=self.fused_attention,
                 remat=self.remat, remat_policy=self.remat_policy,
                 name="encoder",
             )(x, output_attentions=output_attentions)

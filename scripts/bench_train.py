@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--fast", action="store_true",
                     help="apply the full fast-training preset "
                          "(bf16 + dot LN + dot softmax + hoisted trunk)")
+    ap.add_argument("--fused-attn", action="store_true",
+                    help="fused Pallas MHA in the trunk "
+                         "(vit_kwargs.dino_fused_attention)")
     ap.add_argument("--dot-softmax", action="store_true",
                     help="attention softmax with MXU sum reductions")
     ap.add_argument("--hoist-trunk", action="store_true",
@@ -100,7 +103,7 @@ def main():
 
         apply_fast_training_preset(config)
     if (args.remat or args.flash or args.remat_policy or args.ln
-            or args.dot_softmax or args.fast):
+            or args.dot_softmax or args.fused_attn or args.fast):
         if args.remat:
             config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         if args.remat_policy:
@@ -113,6 +116,10 @@ def main():
             )
         if args.dot_softmax:
             config["base_net_kwargs"]["vit_kwargs"]["dino_dot_softmax"] = True
+        if args.fused_attn:
+            config["base_net_kwargs"]["vit_kwargs"][
+                "dino_fused_attention"
+            ] = True
         from hypervla_tpu.models.hypervla import HyperVLA
 
         model = HyperVLA.from_config(
@@ -210,6 +217,7 @@ def main():
         "ln": args.ln,
         "hoist_trunk": args.hoist_trunk,
         "dot_softmax": args.dot_softmax,
+        "fused_attn": args.fused_attn,
         "fast_preset": args.fast,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
