@@ -75,11 +75,14 @@ def main():
 
     # Pallas weight-streaming trunk (ops/dino_layer.py) for the bs=1
     # headline loop; the batched paths below keep the XLA step (the kernel
-    # is bs=1). HYPERVLA_TRUNK_KERNEL=1 enables; the default follows the
-    # measured on-chip winner (PERF.md round-3 serving section).
+    # is bs=1). Default ON: the measured on-chip winner (PERF.md round-3
+    # serving section — interleaved A/B p50 0.985 vs 1.576 ms, p90 1.105
+    # vs 2.022 ms; the kernel's 4-leaf dispatch surface is what a
+    # contended shared chip actually rewards). HYPERVLA_TRUNK_KERNEL=0
+    # falls back to the XLA trunk.
     import os
 
-    trunk_kernel = os.environ.get("HYPERVLA_TRUNK_KERNEL", "0") == "1"
+    trunk_kernel = os.environ.get("HYPERVLA_TRUNK_KERNEL", "1") == "1"
     if trunk_kernel:
         try:
             from hypervla_tpu.ops.serving import make_pallas_trunk_net
@@ -130,7 +133,10 @@ def main():
         t0 = time.perf_counter()
         for _ in range(n_iters):
             action = headline_step(images, token_embedding, pad_mask, rng)
-        jax.block_until_ready(action)
+        # fetch (not just block_until_ready): through tunneled backends
+        # block_until_ready can return before execution completes, while a
+        # host fetch of the last step forces the whole in-order stream
+        np.asarray(action)
         window_s.append((time.perf_counter() - t0) / n_iters)
         time.sleep(2.0)
     best = min(window_s)
@@ -151,7 +157,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(100):
             a8 = step(params8, images8, emb8, mask8, rng)
-        jax.block_until_ready(a8)
+        np.asarray(a8)  # fetch: forces the in-order stream (see above)
         batch8_actions_per_sec = 8 * 100 / (time.perf_counter() - t0)
     except Exception:
         pass
@@ -179,7 +185,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(100):
             a8, hist8 = multi(stacked, frames8, emb8, hist8, idx8, rngs8)
-        jax.block_until_ready(a8)
+        np.asarray(a8)  # fetch: forces the in-order stream (see above)
         multitask8_actions_per_sec = 8 * 100 / (time.perf_counter() - t0)
     except Exception:
         pass

@@ -5,27 +5,32 @@ bf16 weights from HBM: XLA's op-per-op schedule reaches only ~320 GB/s
 effective (0.53 ms device, round-3 profile via scripts/profile_serving —
 half of it VPU LayerNorm reduce fusions that serialize against the weight
 prefetches). This kernel runs all 12 transformer layers as ONE
-pallas_call whose grid streams the stacked weights in (768, 1536) chunks:
+pallas_call whose grid streams the stacked weights in (hidden, 4*hidden)
+chunks:
 
-  grid = (12 layers, 6 stages); stage s DMAs one weight chunk while stage
+  grid = (12 layers, 3 stages); stage s DMAs one weight chunk while stage
   s-1 computes (Mosaic double-buffers grid-indexed blocks automatically):
 
-    s0: LN1(x) -> n;  q = n@Wq + bq ; k = n@Wk + bk      chunk [Wq|Wk]
-    s1: v = n@Wv + bv ; 12-head attention ;
-        x += ls1 * (attn@Wo + bo)                         chunk [Wv|Wo]
-    s2: LN2(x) -> n ; h[:, :1536] = gelu(n@W1a + b1a)     chunk W1a
-    s3: h[:, 1536:] = gelu(n@W1b + b1b)                   chunk W1b
-    s4: acc  = h[:, :1536] @ W2a                          chunk W2a^T
-    s5: acc += h[:, 1536:] @ W2b ; x += ls2*(acc + b2)    chunk W2b^T
+    s0: LN1(x) -> n ; qkv = n@[Wq|Wk|Wv] ; 12-head attention ;
+        x += ls1 * (attn@Wo + bo)                  chunk [Wq|Wk|Wv|Wo]
+    s1: LN2(x) -> n ; h = gelu(n@W1 + b1)          chunk W1
+    s2: x += ls2 * (h@W2 + b2)                     chunk W2^T
 
-The [257, 768] residual stream, LN outputs, qkv and MLP activations all
-stay resident in VMEM scratch for the whole 72-step grid; nothing but the
-weight chunks moves, so the floor is the one-pass weight read
-(~14.2 MB/layer). Numerics follow the XLA bf16 trunk: LN stats and
-softmax in fp32, activations/residuals bf16, exact GELU evaluated in fp32
-(polynomial erf — Mosaic lowers no erf/erfc primitive; <=2e-6 abs from the
-erfc path, see ops/gelu.py), fc2 accumulated in fp32 across chunks and
-rounded once.
+Attention never slices at 64-lane offsets: heads live two-per-128-lane
+slab and are separated with LANE MASKS (`dot(q*mask_h, k)` contracts the
+full slab; the zeros kill the cross-head terms and the MXU is 128 wide
+either way) — the same trick as the training kernel
+(ops/fused_attention.py), so no cross-lane shuffles or head concatenates
+ever materialize.
+
+The [257, 768] residual stream and the MLP activation stay resident in
+VMEM scratch for the whole 36-step grid; nothing but the weight chunks
+moves, so the floor is the one-pass weight read (~14.2 MB/layer).
+Numerics follow the XLA bf16 trunk: LN stats and softmax in fp32,
+activations/residuals bf16, exact GELU evaluated in fp32 (polynomial erf
+— Mosaic lowers no erf/erfc primitive; <=2e-6 abs from the erfc path, see
+ops/gelu.py), fc2 contracted in one fp32-accumulated dot and rounded
+once.
 
 Forward-only (no VJP): serving path. Training keeps the differentiable
 XLA trunk. Reference surface: the per-step control loop at
@@ -33,7 +38,6 @@ XLA trunk. Reference surface: the per-step control loop at
 hypervla/model.py's frozen DINOv2-base (consumed there via HuggingFace).
 """
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +46,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _HEAD_DIM = 64  # all non-SwiGLU DINOv2 variants (small/base/large)
-_STAGES = 6
+_STAGES = 3
+_LANES = 128  # Mosaic lane width: attention runs on 128-lane head slabs
 
 # p-array row indices (per-layer fp32 LN/layer-scale parameters)
 _LN1_S, _LN1_B, _LN2_S, _LN2_B, _LS1, _LS2 = range(6)
@@ -71,115 +76,93 @@ def _gelu_exact_f32(h_bf16):
     return gelu_exact_poly_f32(xf).astype(jnp.bfloat16)
 
 
-def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref,
-            x_s, n_s, qkv_s, h_s, acc_s, *, eps: float, hidden: int,
-            heads: int):
-    chunk = 2 * hidden
+def _lane_mask(h: int):
+    """bf16 (1, _LANES) 0/1 mask selecting head h's 64 lanes in the slab."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    return (
+        (lane >= h * _HEAD_DIM) & (lane < (h + 1) * _HEAD_DIM)
+    ).astype(jnp.bfloat16)
+
+
+def _kernel(x0_ref, w_ref, b_ref, p_ref, out_ref, x_s, h_s,
+            *, eps: float, hidden: int):
     mlp = 4 * hidden
     i = pl.program_id(0)
     s = pl.program_id(1)
-    w = w_ref[0, 0]          # (hidden, 2*hidden) bf16
-    # all 6 stage biases ride in one (1, 6, 2*hidden) block per layer
-    # (Mosaic requires the -2 block dim be full or 8-divisible); the
-    # stage's row is picked dynamically here — 36 KB, noise vs the 14 MB
+    w = w_ref[0, 0]          # (hidden, 4*hidden) bf16
+    # all 3 stage biases ride in one (1, 3, 4*hidden) block per layer; the
+    # stage's row is picked dynamically here — 48 KB, noise vs the 14 MB
     # of weights
-    bias = b_ref[0, s]       # (2*hidden,) fp32
+    bias = b_ref[0, s]       # (4*hidden,) fp32
 
     @pl.when((i == 0) & (s == 0))
     def _init():
         x_s[...] = x0_ref[...]
 
     @pl.when(s == 0)
-    def _qk():
-        n = _ln_f32(x_s[...], p_ref[0, _LN1_S], p_ref[0, _LN1_B], eps)
-        n_s[...] = n
-        qk = jax.lax.dot_general(
-            n, w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
-        qkv_s[:, 0:chunk] = qk
-
-    @pl.when(s == 1)
     def _attn():
-        n = n_s[...]
-        v = jax.lax.dot_general(
-            n, w[:, 0:hidden], (((1,), (0,)), ((), ())),
+        n = _ln_f32(x_s[...], p_ref[0, _LN1_S], p_ref[0, _LN1_B], eps)
+        # the XLA path's bf16 Dense rounds the fp32 dot to bf16, then adds
+        # the bf16-cast bias; reproduce exactly
+        qkv = jax.lax.dot_general(
+            n, w[:, 0:3 * hidden], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + bias[0:hidden].astype(jnp.bfloat16)
-        qkv = qkv_s[:, 0:chunk]
+        ).astype(jnp.bfloat16) + bias[0:3 * hidden].astype(jnp.bfloat16)
         # 1/sqrt(head_dim) = 0.125: exact in bf16, applied to q as in the
         # XLA path (models/encoders/dinov2.py::_SelfAttention)
         q = qkv[:, 0:hidden] * jnp.bfloat16(0.125)
-        k = qkv[:, hidden:chunk]
-        outs = []
-        for h in range(heads):
-            lo, hi = h * _HEAD_DIM, (h + 1) * _HEAD_DIM
-            # the XLA path's bf16 einsum rounds the scores to bf16 before
-            # the fp32 softmax; reproduce that rounding for parity
-            scores = jax.lax.dot_general(
-                q[:, lo:hi], k[:, lo:hi], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16).astype(jnp.float32)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            e = jnp.exp(scores - m)
-            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(
-                jnp.bfloat16
-            )
-            outs.append(
-                jax.lax.dot_general(
-                    probs, v[:, lo:hi], (((1,), (0,)), ((), ())),
+        heads_per_slab = _LANES // _HEAD_DIM
+        ao = None
+        for j in range(hidden // _LANES):
+            lo, hi = j * _LANES, (j + 1) * _LANES
+            qs = q[:, lo:hi]
+            ks = qkv[:, hidden + lo:hidden + hi]
+            vs = qkv[:, 2 * hidden + lo:2 * hidden + hi]
+            oslab = None
+            for h in range(heads_per_slab):
+                mask = _lane_mask(h)
+                # bf16 score rounding before the fp32 softmax, matching
+                # the XLA path's bf16 einsum
+                scores = jax.lax.dot_general(
+                    qs * mask, ks, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16).astype(jnp.float32)  # (S, S)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                e = jnp.exp(scores - m)
+                probs = (
+                    e / jnp.sum(e, axis=-1, keepdims=True)
                 ).astype(jnp.bfloat16)
-            )
-        ao = jnp.concatenate(outs, axis=1)
+                part = jax.lax.dot_general(
+                    probs, vs * mask, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)  # head h's lanes; zeros elsewhere
+                oslab = part if oslab is None else oslab + part
+            ao = oslab if ao is None else jnp.concatenate([ao, oslab], 1)
         attn_out = jax.lax.dot_general(
-            ao, w[:, hidden:chunk], (((1,), (0,)), ((), ())),
+            ao, w[:, 3 * hidden:mlp], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16) + bias[hidden:chunk].astype(jnp.bfloat16)
+        ).astype(jnp.bfloat16) + bias[3 * hidden:mlp].astype(jnp.bfloat16)
         ls1 = p_ref[0, _LS1].astype(jnp.bfloat16)
         x_s[...] = x_s[...] + ls1 * attn_out
 
-    @pl.when((s == 2) | (s == 3))
+    @pl.when(s == 1)
     def _fc1():
-        @pl.when(s == 2)
-        def _ln2():
-            n_s[...] = _ln_f32(
-                x_s[...], p_ref[0, _LN2_S], p_ref[0, _LN2_B], eps
-            )
-
+        n = _ln_f32(x_s[...], p_ref[0, _LN2_S], p_ref[0, _LN2_B], eps)
         hc = jax.lax.dot_general(
-            n_s[...], w, (((1,), (0,)), ((), ())),
+            n, w, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
-        h = _gelu_exact_f32(hc)
+        h_s[...] = _gelu_exact_f32(hc)
 
-        @pl.when(s == 2)
-        def _store_a():
-            h_s[:, 0:chunk] = h
-
-        @pl.when(s == 3)
-        def _store_b():
-            h_s[:, chunk:mlp] = h
-
-    # w holds W2^T chunks (768 out, 1536 in): contract the h columns
-    # against dim 1 so the fp32 accumulator rounds once, like XLA's
-    # single [257,3072]x[3072,768] dot
-    @pl.when(s == 4)
-    def _fc2a():
-        acc_s[...] = jax.lax.dot_general(
-            h_s[:, 0:chunk], w, (((1,), (1,)), ((), ())),
+    # w holds the W2^T chunk (hidden out, 4*hidden in): contract the h
+    # columns against dim 1 so the fp32 accumulator rounds once, like
+    # XLA's single [257,3072]x[3072,768] dot
+    @pl.when(s == 2)
+    def _fc2():
+        y2 = jax.lax.dot_general(
+            h_s[...], w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(s == 5)
-    def _fc2b():
-        part = jax.lax.dot_general(
-            h_s[:, chunk:mlp], w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        y2 = (acc_s[...] + part).astype(jnp.bfloat16) + bias[
-            0:hidden
-        ].astype(jnp.bfloat16)
+        ).astype(jnp.bfloat16) + bias[0:hidden].astype(jnp.bfloat16)
         ls2 = p_ref[0, _LS2].astype(jnp.bfloat16)
         x_s[...] = x_s[...] + ls2 * y2
 
@@ -193,41 +176,38 @@ def dino_layers_serving(x, w, b, p, eps: float = 1e-6,
     """Runs the stacked DINOv2 layers over x.
 
     x: (seq, 768) bf16 — the embedded tokens (batch squeezed outside).
-    w: (L, 6, 768, 1536) bf16 — stacked weight chunks (see stack_* below).
-    b: (L, 6, 1536) fp32 — per-stage bias vectors.
+    w: (L, 3, 768, 3072) bf16 — stacked weight chunks (see stack_* below).
+    b: (L, 3, 3072) fp32 — per-stage bias vectors.
     p: (L, 6, 768) fp32 — LN scales/biases and layer scales.
     """
     interpret = interpret or jax.default_backend() == "cpu"
     seq, hidden = x.shape
     layers = w.shape[0]
-    chunk = 2 * hidden
-    heads = hidden // _HEAD_DIM
-    assert w.shape[1:] == (_STAGES, hidden, chunk), w.shape
-    assert b.shape == (layers, _STAGES, chunk)
-    assert p.shape == (layers, _STAGES, hidden)
+    mlp = 4 * hidden
+    assert hidden % _LANES == 0, hidden
+    assert w.shape[1:] == (_STAGES, hidden, mlp), w.shape
+    assert b.shape == (layers, _STAGES, mlp)
+    assert p.shape == (layers, 6, hidden)
     x = x.astype(jnp.bfloat16)
 
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps, hidden=hidden, heads=heads),
+        functools.partial(_kernel, eps=eps, hidden=hidden),
         grid=(layers, _STAGES),
         in_specs=[
             pl.BlockSpec((seq, hidden), lambda i, s: (0, 0)),
-            pl.BlockSpec((1, 1, hidden, chunk), lambda i, s: (i, s, 0, 0)),
-            pl.BlockSpec((1, _STAGES, chunk), lambda i, s: (i, 0, 0)),
-            pl.BlockSpec((1, _STAGES, hidden), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, 1, hidden, mlp), lambda i, s: (i, s, 0, 0)),
+            pl.BlockSpec((1, _STAGES, mlp), lambda i, s: (i, 0, 0)),
+            pl.BlockSpec((1, 6, hidden), lambda i, s: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((seq, hidden), lambda i, s: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((seq, hidden), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((seq, hidden), jnp.bfloat16),    # x (residual)
-            pltpu.VMEM((seq, hidden), jnp.bfloat16),    # LN output
-            pltpu.VMEM((seq, chunk), jnp.bfloat16),     # q|k
-            pltpu.VMEM((seq, 4 * hidden), jnp.bfloat16),  # MLP hidden
-            pltpu.VMEM((seq, hidden), jnp.float32),     # fc2 accumulator
+            pltpu.VMEM((seq, hidden), jnp.bfloat16),      # x (residual)
+            pltpu.VMEM((seq, mlp), jnp.bfloat16),         # MLP hidden
         ],
-        # the kernel's raison d'etre is VMEM residency: blocks + scratch +
-        # the union of the 6 stage bodies' temporaries exceed the 16 MB
-        # default scoped limit (measured 30.8 MB on v5e, which has 128 MB)
+        # the kernel's raison d'etre is VMEM residency: double-buffered
+        # 4.7 MB weight chunks + scratch + the union of the stage bodies'
+        # temporaries exceed the 16 MB default scoped limit
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -244,10 +224,10 @@ def stack_serving_layer_params(layer_params, layerscale_value: float = 1.0):
     hidden = int(
         np.asarray(layer_params["0"]["norm1"]["scale"]).shape[0]
     )
-    chunk = 2 * hidden
-    w = np.zeros((num_layers, _STAGES, hidden, chunk), np.float32)
-    b = np.zeros((num_layers, _STAGES, chunk), np.float32)
-    p = np.zeros((num_layers, _STAGES, hidden), np.float32)
+    mlp = 4 * hidden
+    w = np.zeros((num_layers, _STAGES, hidden, mlp), np.float32)
+    b = np.zeros((num_layers, _STAGES, mlp), np.float32)
+    p = np.zeros((num_layers, 6, hidden), np.float32)
     for i in range(num_layers):
         lp = layer_params[str(i)]
         att = lp["attention"]["attention"]
@@ -255,21 +235,19 @@ def stack_serving_layer_params(layer_params, layerscale_value: float = 1.0):
         fc1 = lp["mlp"]["fc1"]
         fc2 = lp["mlp"]["fc2"]
         w[i, 0, :, 0:hidden] = att["query"]["kernel"]
-        w[i, 0, :, hidden:] = att["key"]["kernel"]
-        w[i, 1, :, 0:hidden] = att["value"]["kernel"]
-        w[i, 1, :, hidden:] = out["kernel"]
-        w[i, 2] = fc1["kernel"][:, 0:chunk]
-        w[i, 3] = fc1["kernel"][:, chunk:]
-        w2t = np.asarray(fc2["kernel"], np.float32).T  # (hidden, 4*hidden)
-        w[i, 4] = w2t[:, 0:chunk]
-        w[i, 5] = w2t[:, chunk:]
+        w[i, 0, :, hidden:2 * hidden] = att["key"]["kernel"]
+        w[i, 0, :, 2 * hidden:3 * hidden] = att["value"]["kernel"]
+        w[i, 0, :, 3 * hidden:mlp] = out["kernel"]
+        w[i, 1] = fc1["kernel"]
+        # (hidden, 4*hidden): fc2 transposed so the chunk stays
+        # (hidden, mlp)-shaped
+        w[i, 2] = np.asarray(fc2["kernel"], np.float32).T
         b[i, 0, 0:hidden] = att["query"]["bias"]
-        b[i, 0, hidden:] = att["key"]["bias"]
-        b[i, 1, 0:hidden] = att["value"]["bias"]
-        b[i, 1, hidden:] = out["bias"]
-        b[i, 2] = fc1["bias"][0:chunk]
-        b[i, 3] = fc1["bias"][chunk:]
-        b[i, 5, 0:hidden] = fc2["bias"]
+        b[i, 0, hidden:2 * hidden] = att["key"]["bias"]
+        b[i, 0, 2 * hidden:3 * hidden] = att["value"]["bias"]
+        b[i, 0, 3 * hidden:mlp] = out["bias"]
+        b[i, 1] = fc1["bias"]
+        b[i, 2, 0:hidden] = fc2["bias"]
         p[i, _LN1_S] = lp["norm1"]["scale"]
         p[i, _LN1_B] = lp["norm1"]["bias"]
         p[i, _LN2_S] = lp["norm2"]["scale"]

@@ -59,7 +59,7 @@ def test_kernel_twelve_layer_shapes():
     """Full dinov2-base depth runs through the grid (interpret mode)."""
     params, x, ref = _make_reference(12, 257)
     w, b, p = stack_serving_layer_params(params)
-    assert w.shape == (12, 6, 768, 1536) and w.dtype == jnp.bfloat16
+    assert w.shape == (12, 3, 768, 3072) and w.dtype == jnp.bfloat16
     got = dino_layers_serving(x[0], w, b, p, interpret=True)
     assert got.shape == (257, 768)
     err = np.abs(
@@ -139,8 +139,8 @@ def test_make_pallas_trunk_net_strips_layer_leaves():
         "encoder"
     ]
     tk = variables["trunk_kernel"]["encoder"]["image_encoder"]
-    assert tk["w"].shape == (12, 6, 768, 1536)
-    assert tk["b"].shape == (12, 6, 1536)
+    assert tk["w"].shape == (12, 3, 768, 3072)
+    assert tk["b"].shape == (12, 3, 3072)
     assert tk["p"].shape == (12, 6, 768)
     # untouched non-trunk leaves survive
     assert variables["params"]["head"]["kernel"].shape == (4, 4)
@@ -234,7 +234,7 @@ def test_kernel_other_geometries(hidden, heads):
     params = module.init(rng, x)["params"]
     ref, _ = module.apply({"params": params}, x)
     w, b, p = stack_serving_layer_params(params)
-    assert w.shape == (2, 6, hidden, 2 * hidden)
+    assert w.shape == (2, 3, hidden, 4 * hidden)
     got = dino_layers_serving(x[0], w, b, p, interpret=True)
     err = np.abs(
         np.asarray(ref[0], np.float32) - np.asarray(got, np.float32)
