@@ -40,6 +40,7 @@ class InferenceWrapper:
         padded_resize: bool = False,
         fused_serving: bool = False,
         trunk_kernel: bool = False,
+        pack_args: bool = False,
     ) -> None:
         self.model = model
         self.policy_setup = policy_setup
@@ -98,6 +99,10 @@ class InferenceWrapper:
         # run the DINOv2 trunk as the Pallas weight-streaming kernel
         # (ops/dino_layer.py; TPU, bs=1, DINOv2-base only)
         self.trunk_kernel = bool(trunk_kernel and self.fused_serving)
+        # pack tiny param leaves into per-dtype flat buffers once per
+        # episode so each control tick dispatches a handful of handles
+        # (ops/serving.py::make_arg_packer)
+        self.pack_args = bool(pack_args and self.fused_serving)
 
         if model is not None and model.dataset_statistics is not None:
             if "action" in model.dataset_statistics:
@@ -190,8 +195,13 @@ class InferenceWrapper:
                     ensemble_temp=self.action_ensemble_temp,
                     ensemble=self.action_ensemble,
                     trunk_kernel=self.trunk_kernel,
+                    pack_args=self.pack_args,
                 )
                 self._init_history = init_history
+            if self.pack_args:
+                self.base_params = self._serving_step.pack_params(
+                    self.base_params
+                )
             self._serving_history = self._init_history()
         self.task_description = task_description
         self.image_history.clear()

@@ -100,6 +100,66 @@ def pack_generated_params(model, base_params):
     return packed, shared, unpack
 
 
+def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024):
+    """Shrinks a per-call argument tree to a handful of device handles.
+
+    On a shared/tunneled chip the per-call host cost tracks the argument
+    surface (PERF.md round-3 serving A/B: the 4-leaf Pallas trunk beats the
+    ~190-leaf XLA trunk on wall clock while losing on device time). The
+    Pallas-trunk serving step still passes ~80 tiny leaves (the generated
+    policy net + trunk embeddings, ~1.5 MB total); this packs every leaf
+    <= keep_bytes into ONE flat buffer per dtype, unpacked with STATIC
+    slices inside the jit. Static slices of a few-MB buffer are bandwidth
+    noise — unlike the 344 MB whole-tree packing measured catastrophic in
+    round 1 (big leaves therefore pass through unchanged).
+
+    Returns (pack, unpack): pack(tree) -> (packed: {dtype: vec}, big: list)
+    runs once per episode; unpack(packed, big) -> tree is traceable and
+    runs inside the per-tick jit.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(example_tree)
+    specs = []
+    offsets = {}
+    n_big = 0
+    for leaf in leaves:
+        leaf = jnp.asarray(leaf)
+        if leaf.size * leaf.dtype.itemsize > keep_bytes:
+            specs.append(("big", n_big))
+            n_big += 1
+        else:
+            key = str(leaf.dtype)
+            off = offsets.get(key, 0)
+            specs.append(("packed", key, off, int(leaf.size), leaf.shape))
+            offsets[key] = off + int(leaf.size)
+    keys = sorted(offsets)
+
+    def pack(tree):
+        got = jax.tree_util.tree_flatten(tree)[1]
+        assert got == treedef, "tree structure changed since packer creation"
+        buckets = {k: [] for k in keys}
+        big = []
+        for leaf, spec in zip(jax.tree_util.tree_leaves(tree), specs):
+            leaf = jnp.asarray(leaf)
+            if spec[0] == "big":
+                big.append(leaf)
+            else:
+                buckets[spec[1]].append(jnp.ravel(leaf))
+        packed = {k: jnp.concatenate(buckets[k]) for k in keys}
+        return packed, big
+
+    def unpack(packed, big):
+        out = []
+        for spec in specs:
+            if spec[0] == "big":
+                out.append(big[spec[1]])
+            else:
+                _, key, off, size, shape = spec
+                out.append(packed[key][off:off + size].reshape(shape))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return pack, unpack
+
+
 def make_pallas_trunk_net(model, base_params):
     """Serving variant of the base net whose DINOv2 layers run as one
     Pallas weight-streaming kernel (ops/dino_layer.py).
@@ -160,6 +220,7 @@ def make_serving_step(
     ensemble_temp: float = 0.0,
     ensemble: bool = True,
     trunk_kernel: bool = False,
+    pack_args: bool = False,
 ):
     """Builds (step_fn, init_history) for fused closed-loop serving.
 
@@ -169,6 +230,11 @@ def make_serving_step(
     trunk_kernel=True runs the DINOv2 trunk as the Pallas weight-streaming
     kernel: base_params must then be the `variables` dict returned by
     make_pallas_trunk_net (params + trunk_kernel collections).
+    pack_args=True shrinks the per-tick dispatch surface: call
+    `step_fn.pack_params(base_params)` once per episode (after
+    create_tasks/prepare/make_pallas_trunk_net) and pass its result as
+    base_params; tiny leaves travel as one flat buffer per dtype
+    (see make_arg_packer).
     """
     from hypervla_tpu.models.base_network import BaseNetwork
 
@@ -196,8 +262,17 @@ def make_serving_step(
     def init_history():
         return jnp.zeros((horizon, horizon, action_dim), jnp.float32)
 
+    packer_cell = {}
+
+    def _pack_params(params):
+        if "fns" not in packer_cell:
+            packer_cell["fns"] = make_arg_packer(params)
+        return packer_cell["fns"][0](params)
+
     def _single_step(base_params, frame, token_embedding, history, step_idx,
                      rng):
+        if pack_args:
+            base_params = packer_cell["fns"][1](*base_params)
         # ---- preprocessing (device) ----
         img = preprocess.resize_image(frame, (image_size, image_size))
         if crop:
@@ -252,6 +327,7 @@ def make_serving_step(
 
     step_fn = jax.jit(_single_step)
     step_fn._single = _single_step  # reused by the multi-task wrapper
+    step_fn.pack_params = _pack_params
     return step_fn, init_history
 
 
@@ -271,6 +347,10 @@ def make_multitask_serving_step(model, unnorm_stats: dict, **kwargs):
       stack_task_params([params_task0, params_task1, ...]) stacks generated
       leaves on a new leading axis and keeps shared leaves from task 0.
     """
+    assert not kwargs.get("pack_args"), (
+        "pack_args packs the whole tree; the multi-task wrapper needs "
+        "per-leaf vmap axes — pack is single-task only"
+    )
     single, init_history = make_serving_step(model, unnorm_stats, **kwargs)
     generation_flag = model.hypernet.base_net_metadata["generation_flag"]
     params_axes = jax.tree_util.tree_map(

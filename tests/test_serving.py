@@ -250,3 +250,65 @@ def test_pack_generated_params_roundtrip():
     a_packed = np.asarray(packed_step(packed, shared))
     # two separately compiled programs: allow fusion-level float variation
     np.testing.assert_allclose(a_ref, a_packed, rtol=0, atol=2e-6)
+
+
+def test_arg_packer_serving_step_parity():
+    """pack_args=True must produce identical actions while cutting the
+    per-tick dispatch surface to a handful of leaves."""
+    from hypervla_tpu.flagship import build_flagship
+    from hypervla_tpu.ops.serving import make_serving_step
+
+    model, batch = build_flagship(tiny=True)
+    stats = {"mean": np.zeros(7), "std": np.ones(7)}
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    instr = {"language_instruction": example["task"]["language_instruction"]}
+    base_params, _, _ = model.create_tasks(
+        instruction_dict=instr, initial_state=example["initial_state"]
+    )
+
+    plain, init_history = make_serving_step(
+        model, stats, image_size=224, crop=False, ensemble=False
+    )
+    packed_step, _ = make_serving_step(
+        model, stats, image_size=224, crop=False, ensemble=False,
+        pack_args=True,
+    )
+    packed = packed_step.pack_params(base_params)
+    n_plain = len(jax.tree_util.tree_leaves(base_params))
+    n_packed = len(jax.tree_util.tree_leaves(packed))
+    assert n_packed < n_plain / 4, (n_packed, n_plain)
+
+    frame = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (224, 224, 3)), jnp.uint8
+    )
+    emb = jnp.asarray(instr["language_instruction"]["token_embedding"])
+    rng = jax.random.PRNGKey(1)
+    a_ref, _ = plain(base_params, frame, emb, init_history(), 0, rng)
+    a_pack, _ = packed_step(packed, frame, emb, init_history(), 0, rng)
+    np.testing.assert_allclose(
+        np.asarray(a_pack), np.asarray(a_ref), atol=2e-6
+    )
+
+
+def test_arg_packer_roundtrip_mixed_dtypes():
+    """make_arg_packer reconstructs an arbitrary mixed-dtype tree exactly,
+    keeping big leaves as pass-through handles."""
+    from hypervla_tpu.ops.serving import make_arg_packer
+
+    tree = {
+        "big": jnp.ones((2048, 1024), jnp.float32),       # 8 MB: stays
+        "small_f32": jnp.arange(12.0, dtype=jnp.float32).reshape(3, 4),
+        "small_bf16": jnp.full((5,), 1.5, jnp.bfloat16),
+        "nested": {"w": jnp.eye(8, dtype=jnp.float32)},
+    }
+    pack, unpack = make_arg_packer(tree, keep_bytes=4 * 1024 * 1024)
+    packed, big = pack(tree)
+    assert len(big) == 1 and big[0].shape == (2048, 1024)
+    assert set(packed) == {"float32", "bfloat16"}
+    out = jax.jit(unpack)(packed, big)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b)
+        ),
+        tree, out,
+    )
