@@ -83,34 +83,70 @@ def main():
     import os
 
     trunk_kernel = os.environ.get("HYPERVLA_TRUNK_KERNEL", "1") == "1"
+    pack_args = os.environ.get("HYPERVLA_PACK_ARGS", "1") == "1"
     if trunk_kernel:
         try:
-            from hypervla_tpu.ops.serving import make_pallas_trunk_net
+            from hypervla_tpu.ops.serving import (
+                make_arg_packer,
+                make_pallas_trunk_net,
+            )
 
             serve_net, variables = make_pallas_trunk_net(model, base_params)
             variables = jax.device_put(variables)
+            if pack_args:
+                # fold the ~80 tiny leaves into per-dtype flat buffers:
+                # 83 -> 3 dispatch handles. Interleaved A/B (PERF.md r3):
+                # p90 1.421 -> 0.872 ms — the packed step is nearly immune
+                # to co-tenant contention because the per-call marshalling
+                # surface is gone.
+                pack, unpack = make_arg_packer(variables)
+                packed, big = pack(variables)
+                packed = jax.device_put(packed)
+                big = jax.device_put(big)
 
-            @jax.jit
-            def kernel_step(variables, images, token_embedding, pad_mask,
-                            rng):
-                return serve_net.apply(
-                    variables,
-                    images.squeeze(1),
-                    token_embedding,
-                    pad_mask,
-                    rng=rng,
-                    rngs={"dropout": rng},
-                    train=False,
-                    method=BaseNetwork.predict_action,
-                )
+                @jax.jit
+                def kernel_step(packed, big, images, token_embedding,
+                                pad_mask, rng):
+                    return serve_net.apply(
+                        unpack(packed, big),
+                        images.squeeze(1),
+                        token_embedding,
+                        pad_mask,
+                        rng=rng,
+                        rngs={"dropout": rng},
+                        train=False,
+                        method=BaseNetwork.predict_action,
+                    )
 
-            a = kernel_step(variables, images, token_embedding, pad_mask,
-                            rng)
-            jax.block_until_ready(a)
+                a = kernel_step(packed, big, images, token_embedding,
+                                pad_mask, rng)
+                jax.block_until_ready(a)
 
-            def headline_step(images, token_embedding, pad_mask, rng):
-                return kernel_step(variables, images, token_embedding,
-                                   pad_mask, rng)
+                def headline_step(images, token_embedding, pad_mask, rng):
+                    return kernel_step(packed, big, images, token_embedding,
+                                       pad_mask, rng)
+            else:
+                @jax.jit
+                def kernel_step(variables, images, token_embedding, pad_mask,
+                                rng):
+                    return serve_net.apply(
+                        variables,
+                        images.squeeze(1),
+                        token_embedding,
+                        pad_mask,
+                        rng=rng,
+                        rngs={"dropout": rng},
+                        train=False,
+                        method=BaseNetwork.predict_action,
+                    )
+
+                a = kernel_step(variables, images, token_embedding, pad_mask,
+                                rng)
+                jax.block_until_ready(a)
+
+                def headline_step(images, token_embedding, pad_mask, rng):
+                    return kernel_step(variables, images, token_embedding,
+                                       pad_mask, rng)
         except Exception as exc:  # fall back to the XLA trunk
             logging.warning("trunk kernel unavailable (%s); XLA path", exc)
             trunk_kernel = False
@@ -247,6 +283,7 @@ def main():
         "vs_baseline": round(actions_per_sec / 1000.0, 4),
         "weights": weights_mode("dinov2"),
         "trunk": "pallas_kernel" if trunk_kernel else "xla",
+        "packed_args": bool(trunk_kernel and pack_args),
         "aux": {
             "per_step_ms_p50": round(1000.0 * p50, 3),
             "per_step_ms_p90": round(1000.0 * p90, 3),
