@@ -279,7 +279,10 @@ def apply_fast_training_preset(config):
     hoist_shared_trunk (200.8 ms). The optimization_barrier fences those
     rewrites need force large intermediates (x*x, exp(x), per-sample
     probs) to materialize to HBM, costing more bandwidth than the VPU
-    reduces they save. All three remain available as explicit opt-ins.
+    reduces they save. Also not included: dino_fused_add_ln (the
+    structural residual-boundary Pallas kernel, 154.4 vs 152.0 ms on top
+    of this preset — PERF.md bisection coda). All remain available as
+    explicit opt-ins.
     """
     vk = config["base_net_kwargs"]["vit_kwargs"]
     vk["encoder_dtype"] = "bfloat16"

@@ -109,6 +109,10 @@ class ViT(nn.Module):
     # (ops/fused_attention.py; kills the head-transpose + softmax-stat
     # fusions of the einsum path)
     dino_fused_attention: bool = False
+    # fuse every trunk residual add into the LayerNorm that consumes it
+    # (ops/add_layer_norm.py; kills the VPU cross-lane LN stat fusions —
+    # ~28 ms of the bs=64 flagship step)
+    dino_fused_add_ln: bool = False
 
     def setup(self):
         if self.encoder_type == "DINOv2":
@@ -127,6 +131,7 @@ class ViT(nn.Module):
                 layers_impl=self.dino_layers_impl,
                 dot_softmax=self.dino_dot_softmax,
                 fused_attention=self.dino_fused_attention,
+                fused_add_ln=self.dino_fused_add_ln,
             )
         elif self.encoder_type == "CLIP":
             from hypervla_tpu.models.encoders.clip import (

@@ -277,6 +277,53 @@ class _PallasTrainLayerNorm(nn.Module):
         )
 
 
+class _LayerScaleVector(nn.Module):
+    """_LayerScale's parameter as a vector, without applying the multiply.
+
+    Same module/param names as _LayerScale so checkpoints are identical;
+    used by the fused residual boundary, where the multiply happens inside
+    the Pallas kernel (ops/add_layer_norm.py::fused_add_scale_ln).
+    """
+
+    config: DINOv2Config
+
+    @nn.compact
+    def __call__(self):
+        lambda1 = self.param(
+            "lambda1", nn.initializers.ones, (self.config.hidden_size,)
+        )
+        return self.config.layerscale_value * lambda1  # fp32 (d,)
+
+
+class _FusedAddLayerNorm(nn.Module):
+    """LayerScale + residual add + LayerNorm as one Pallas pass.
+
+    (x, delta, ls) -> (x + ls*delta, LN(x + ls*delta) * scale + bias).
+    Param names match nn.LayerNorm ("scale"/"bias") so checkpoints are
+    layout-identical whether or not the fusion is enabled. Backed by
+    ops/add_layer_norm.py::fused_add_scale_ln — the whole residual
+    boundary must ride inside the kernel (round-3 lever bisection: a
+    standalone Pallas LN loses to XLA's add+stat shared fusions, and the
+    first fused_add_ln variant left the LayerScale multiplies unfused,
+    7.9 ms of standalone broadcast multiplies at bs=64).
+    """
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, delta, ls):
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        from hypervla_tpu.ops.add_layer_norm import fused_add_scale_ln
+
+        xn, y = fused_add_scale_ln(
+            x, delta.astype(x.dtype), ls, scale, bias, self.epsilon
+        )
+        return xn, y.astype(self.dtype)
+
+
 def _layer_norm(config, dtype, fused, name):
     """fused: False -> flax nn.LayerNorm; True -> Pallas single-pass kernel;
     "dot" -> MXU ones-dot statistics (fastest at bs=1 serving geometry);
@@ -538,10 +585,43 @@ class _Layer(nn.Module):
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
     fused_attention: bool = False
+    # fuse each residual add with the LayerNorm that consumes it
+    # (ops/add_layer_norm.py). The layer then RETURNS its final residual
+    # delta un-added so the NEXT layer's norm1 can absorb the add; the
+    # collection completes the last one. Training-geometry lever.
+    fused_add_ln: bool = False
 
     @nn.compact
-    def __call__(self, hidden_states, output_attentions=False):
+    def __call__(self, hidden_states, output_attentions=False,
+                 pending_delta=None):
         c = self.config
+        if self.fused_add_ln and not output_attentions:
+            if pending_delta is None:
+                normed = _layer_norm(c, self.dtype, self.fused_ln, "norm1")(
+                    hidden_states
+                )
+            else:
+                delta, ls = pending_delta
+                hidden_states, normed = _FusedAddLayerNorm(
+                    epsilon=c.layer_norm_eps, dtype=self.dtype, name="norm1"
+                )(hidden_states, delta, ls)
+            attn_outputs = _Attention(
+                c, dtype=self.dtype, use_flash=self.use_flash,
+                flash_trainable=self.flash_trainable,
+                dot_softmax=self.dot_softmax,
+                fused_attention=self.fused_attention, name="attention",
+            )(normed, output_attentions=False)
+            ls1 = _LayerScaleVector(c, name="layer_scale1")()
+            hidden_states, y = _FusedAddLayerNorm(
+                epsilon=c.layer_norm_eps, dtype=self.dtype, name="norm2"
+            )(hidden_states, attn_outputs[0], ls1)
+            if c.use_swiglu_ffn:
+                y = _SwiGLUFFN(c, dtype=self.dtype, name="mlp")(y)
+            else:
+                y = _MLP(c, dtype=self.dtype, name="mlp")(y)
+            ls2 = _LayerScaleVector(c, name="layer_scale2")()
+            return hidden_states, (y, ls2)
+
         normed = _layer_norm(c, self.dtype, self.fused_ln, "norm1")(
             hidden_states
         )
@@ -594,11 +674,33 @@ class _LayerCollection(nn.Module):
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
     fused_attention: bool = False
+    fused_add_ln: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
+        if self.fused_add_ln and not output_attentions:
+            assert not (self.remat or self.remat_policy), (
+                "fused_add_ln is incompatible with layer remat"
+            )
+            pending = None
+            for i in range(self.config.num_hidden_layers):
+                hidden_states, pending = _Layer(
+                    self.config, dtype=self.dtype,
+                    use_flash=self.use_flash,
+                    flash_trainable=self.flash_trainable,
+                    fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
+                    fused_attention=self.fused_attention,
+                    fused_add_ln=True, name=str(i),
+                )(hidden_states, False, pending)
+            # the last layer's residual add has no following norm1: plain
+            # add with the same per-op bf16 roundings as _LayerScale + add
+            delta, ls = pending
+            hidden_states = (
+                hidden_states + ls.astype(hidden_states.dtype) * delta
+            ).astype(hidden_states.dtype)
+            return hidden_states, None
         all_attentions = () if output_attentions else None
         layer_cls = _Layer
         if self.remat_policy is not None:
@@ -658,6 +760,7 @@ class _Encoder(nn.Module):
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
     fused_attention: bool = False
+    fused_add_ln: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
 
@@ -689,6 +792,7 @@ class _Encoder(nn.Module):
             flash_trainable=self.flash_trainable,
             fused_ln=self.fused_ln, dot_softmax=self.dot_softmax,
             fused_attention=self.fused_attention,
+            fused_add_ln=self.fused_add_ln,
             remat=self.remat,
             remat_policy=self.remat_policy, name="layer",
         )(hidden_states, output_attentions=output_attentions)
@@ -710,6 +814,9 @@ class DINOv2Model(nn.Module):
     fused_ln: Union[bool, str] = False
     dot_softmax: bool = False
     fused_attention: bool = False
+    # fuse each residual add into the LayerNorm that consumes it
+    # (ops/add_layer_norm.py; bf16 training fast path)
+    fused_add_ln: bool = False
     # rematerialize layer activations in backward (fit bigger batches)
     remat: bool = False
     # named jax.checkpoint policy for the layers (see _remat_policy);
@@ -760,7 +867,8 @@ class DINOv2Model(nn.Module):
                 flash_trainable=self.flash_trainable,
                 scan_layers=self.scan_layers, fused_ln=self.fused_ln,
                 dot_softmax=self.dot_softmax,
-            fused_attention=self.fused_attention,
+                fused_attention=self.fused_attention,
+                fused_add_ln=self.fused_add_ln and not output_attentions,
                 remat=self.remat, remat_policy=self.remat_policy,
                 name="encoder",
             )(x, output_attentions=output_attentions)

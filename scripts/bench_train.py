@@ -59,6 +59,9 @@ def main():
                     help="trunk LayerNorm impl: 'dot' = MXU ones-dot "
                          "statistics with the custom-VJP backward "
                          "(ops/layer_norm.py::layer_norm_dot)")
+    ap.add_argument("--fused-add-ln", action="store_true",
+                    help="fuse every trunk residual add into the LayerNorm "
+                         "that consumes it (ops/add_layer_norm.py)")
     ap.add_argument("--packed", action="store_true",
                     help="packed flat-group AdamW (optimizer.packed=True)")
     ap.add_argument("--flash", action="store_true",
@@ -103,7 +106,8 @@ def main():
 
         apply_fast_training_preset(config)
     if (args.remat or args.flash or args.remat_policy or args.ln
-            or args.dot_softmax or args.fused_attn or args.fast):
+            or args.dot_softmax or args.fused_attn or args.fused_add_ln
+            or args.fast):
         if args.remat:
             config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         if args.remat_policy:
@@ -120,6 +124,13 @@ def main():
             config["base_net_kwargs"]["vit_kwargs"][
                 "dino_fused_attention"
             ] = True
+        if args.fused_add_ln:
+            config["base_net_kwargs"]["vit_kwargs"][
+                "dino_fused_add_ln"
+            ] = True
+            config["base_net_kwargs"]["vit_kwargs"][
+                "sow_dino_attention"
+            ] = False
         from hypervla_tpu.models.hypervla import HyperVLA
 
         model = HyperVLA.from_config(
@@ -218,6 +229,7 @@ def main():
         "hoist_trunk": args.hoist_trunk,
         "dot_softmax": args.dot_softmax,
         "fused_attn": args.fused_attn,
+        "fused_add_ln": args.fused_add_ln,
         "fast_preset": args.fast,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
