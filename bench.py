@@ -26,11 +26,24 @@ import numpy as np
 
 
 def main():
+    import os
+
     from hypervla_tpu.flagship import build_flagship
     from hypervla_tpu.models.base_network import BaseNetwork
     from hypervla_tpu.utils.jax_utils import initialize_compilation_cache
 
     initialize_compilation_cache()
+
+    # Deadline guard: on a contended day the optional sections (batched
+    # serving compiles, profiler capture, warm-probe subprocess) can push
+    # the total past a driver's per-command budget and lose the headline
+    # JSON line entirely. Optional sections skip (reporting null) once the
+    # budget is spent; the headline loop always runs.
+    bench_t0 = time.perf_counter()
+    budget_s = float(os.environ.get("HYPERVLA_BENCH_BUDGET_S", "480"))
+
+    def remaining_s():
+        return budget_s - (time.perf_counter() - bench_t0)
 
     model, batch = build_flagship(encoder_dtype="bfloat16", serving=True)
     example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
@@ -80,8 +93,6 @@ def main():
     # vs 2.022 ms; the kernel's 4-leaf dispatch surface is what a
     # contended shared chip actually rewards). HYPERVLA_TRUNK_KERNEL=0
     # falls back to the XLA trunk.
-    import os
-
     trunk_kernel = os.environ.get("HYPERVLA_TRUNK_KERNEL", "1") == "1"
     pack_args = os.environ.get("HYPERVLA_PACK_ARGS", "1") == "1"
     if trunk_kernel:
@@ -154,9 +165,9 @@ def main():
         def headline_step(images, token_embedding, pad_mask, rng):
             return step(base_params, images, token_embedding, pad_mask, rng)
 
-    # warmup + compile
-    action = step(base_params, images, token_embedding, pad_mask, rng)
-    jax.block_until_ready(action)
+    # warmup + compile (the XLA `step` is compiled lazily by the batch8
+    # section — when the Pallas kernel serves the headline there is no need
+    # to pay that compile before the timing windows)
     action = headline_step(images, token_embedding, pad_mask, rng)
     jax.block_until_ready(action)
 
@@ -184,6 +195,8 @@ def main():
     # production-serving configuration (one task, N concurrent envs)
     batch8_actions_per_sec = None
     try:
+        if remaining_s() < 120:
+            raise TimeoutError("bench budget spent; skipping batch8")
         images8 = jnp.tile(images, (8, 1, 1, 1, 1))
         emb8 = jnp.tile(token_embedding, (8, 1, 1))
         mask8 = jnp.tile(pad_mask, (8, 1))
@@ -202,6 +215,8 @@ def main():
     # one program (generated leaves batched, shared DINO trunk read once)
     multitask8_actions_per_sec = None
     try:
+        if remaining_s() < 120:
+            raise TimeoutError("bench budget spent; skipping multitask8")
         from hypervla_tpu.ops.serving import make_multitask_serving_step
 
         stats = {"mean": np.zeros(7), "std": np.ones(7)}
@@ -231,6 +246,8 @@ def main():
     # shared-host dispatch overhead
     device_ms = None
     try:
+        if remaining_s() < 60:
+            raise TimeoutError("bench budget spent; skipping device profile")
         import glob
         import shutil
         import tempfile
@@ -259,12 +276,16 @@ def main():
     # cold call above just populated — what a robot redeploy actually pays
     warm_gen_s = None
     try:
+        # the probe is a fresh process (full import + model build before the
+        # AOT-cached call), so give it whatever budget is left, floor 90 s
+        if remaining_s() < 90:
+            raise TimeoutError("bench budget spent; skipping warm probe")
         import subprocess
         import sys
 
         out = subprocess.run(
             [sys.executable, "-m", "scripts.aot_warm_probe"],
-            capture_output=True, text=True, timeout=600,
+            capture_output=True, text=True, timeout=max(90, remaining_s()),
         )
         warm_gen_s = json.loads(out.stdout.strip().splitlines()[-1])[
             "hypernet_gen_first_call_s"
