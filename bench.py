@@ -45,25 +45,47 @@ def main():
     def remaining_s():
         return budget_s - (time.perf_counter() - bench_t0)
 
+    # skipped-section markers (ADVICE r3: a deliberate budget skip must be
+    # distinguishable from a crash — both used to report bare null)
+    skipped = {}
+
+    def budget_skip(section, need_s):
+        if remaining_s() < need_s:
+            skipped[section] = (
+                f"budget spent ({remaining_s():.0f}s left < {need_s}s)"
+            )
+            logging.warning("skipping %s: %s", section, skipped[section])
+            return True
+        return False
+
+    build_t0 = time.perf_counter()
     model, batch = build_flagship(encoder_dtype="bfloat16", serving=True)
+    build_s = time.perf_counter() - build_t0
     example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
     instruction_dict = {
         "language_instruction": example["task"]["language_instruction"]
     }
 
-    # one-time per-episode hypernet generation
+    # one-time per-episode hypernet generation — phase-timed so a regression
+    # like round 3's 311.8 s cold start pins itself to a phase (the culprit
+    # there: eager per-leaf casts in prepare_serving_params, each a separate
+    # compile RPC under tunnel contention; now single-jit programs)
     gen_t0 = time.perf_counter()
     base_params, tasks, _ = model.create_tasks(
         instruction_dict=instruction_dict,
         initial_state=example["initial_state"],
     )
+    jax.block_until_ready(jax.tree_util.tree_leaves(base_params)[0])
+    create_tasks_s = time.perf_counter() - gen_t0
     from hypervla_tpu.ops.serving import prepare_serving_params
 
     # once per episode: bake the pos-grid interpolation for 224px and store
     # the shared trunk in bf16 (the compute dtype) — see prepare_serving_params
+    prep_t0 = time.perf_counter()
     base_params = prepare_serving_params(model, base_params, image_size=224)
     base_params = jax.device_put(base_params)
     jax.block_until_ready(jax.tree_util.tree_leaves(base_params)[0])
+    prepare_s = time.perf_counter() - prep_t0
     gen_time_first = time.perf_counter() - gen_t0
 
     images = jax.device_put(example["observation"]["image_primary"])
@@ -171,10 +193,15 @@ def main():
     action = headline_step(images, token_embedding, pad_mask, rng)
     jax.block_until_ready(action)
 
-    # timing windows spread over ~20s: multi-tenant contention comes in
+    # timing windows spread over ~30s: multi-tenant contention comes in
     # multi-second bursts, so percentiles over windows describe what a user
-    # actually gets (VERDICT round-1: report p50/p90, not best-of)
-    n_iters, n_trials = 200, 10
+    # actually gets (VERDICT round-1: report p50/p90, not best-of).
+    # 25 windows of 80 steps (vs 10x200 through round 3): with 10 windows a
+    # single co-tenant burst WAS the p90 (BENCH_r03's 1007 actions/s p90;
+    # one 20 s stall observed in round-4 reruns took p90 to 9.7/s) — with 25
+    # windows the p90 tolerates two burst-hit windows while total on-device
+    # work stays the same
+    n_iters, n_trials = 80, 25
     window_s = []
     for _ in range(n_trials):
         t0 = time.perf_counter()
@@ -185,17 +212,40 @@ def main():
         # host fetch of the last step forces the whole in-order stream
         np.asarray(action)
         window_s.append((time.perf_counter() - t0) / n_iters)
-        time.sleep(2.0)
+        time.sleep(0.5)
     best = min(window_s)
     p50 = float(np.percentile(window_s, 50))
     p90 = float(np.percentile(window_s, 90))
+
+    # warm-start probe FIRST among the optional sections (VERDICT r3 item 1:
+    # it was last and got budget-starved to null in BENCH_r03): a FRESH
+    # process hitting the AOT executable cache the cold call above just
+    # populated — what a robot redeploy actually pays
+    warm_gen_s = None
+    warm_probe_aux = None
+    try:
+        # the probe is a fresh process (full import + model build before the
+        # AOT-cached call), so it needs real budget
+        if not budget_skip("warm_probe", 90):
+            import subprocess
+            import sys
+
+            out = subprocess.run(
+                [sys.executable, "-m", "scripts.aot_warm_probe"],
+                capture_output=True, text=True,
+                timeout=max(120, remaining_s()),
+            )
+            warm_probe_aux = json.loads(out.stdout.strip().splitlines()[-1])
+            warm_gen_s = warm_probe_aux["hypernet_gen_first_call_s"]
+    except Exception as exc:
+        logging.warning("warm probe failed: %s", exc)
 
     # batched serving: device time is dominated by reading the DINO weights
     # once per step, so batching environments multiplies actions/s — the
     # production-serving configuration (one task, N concurrent envs)
     batch8_actions_per_sec = None
     try:
-        if remaining_s() < 120:
+        if budget_skip("batch8", 120):
             raise TimeoutError("bench budget spent; skipping batch8")
         images8 = jnp.tile(images, (8, 1, 1, 1, 1))
         emb8 = jnp.tile(token_embedding, (8, 1, 1))
@@ -215,7 +265,7 @@ def main():
     # one program (generated leaves batched, shared DINO trunk read once)
     multitask8_actions_per_sec = None
     try:
-        if remaining_s() < 120:
+        if budget_skip("multitask8", 120):
             raise TimeoutError("bench budget spent; skipping multitask8")
         from hypervla_tpu.ops.serving import make_multitask_serving_step
 
@@ -246,7 +296,7 @@ def main():
     # shared-host dispatch overhead
     device_ms = None
     try:
-        if remaining_s() < 60:
+        if budget_skip("device_profile", 60):
             raise TimeoutError("bench budget spent; skipping device profile")
         import glob
         import shutil
@@ -269,27 +319,6 @@ def main():
                 if "step" in name and count:
                     device_ms = ms / count
         shutil.rmtree(trace_dir, ignore_errors=True)
-    except Exception:
-        pass
-
-    # warm-start probe: a FRESH process hitting the AOT executable cache the
-    # cold call above just populated — what a robot redeploy actually pays
-    warm_gen_s = None
-    try:
-        # the probe is a fresh process (full import + model build before the
-        # AOT-cached call), so give it whatever budget is left, floor 90 s
-        if remaining_s() < 90:
-            raise TimeoutError("bench budget spent; skipping warm probe")
-        import subprocess
-        import sys
-
-        out = subprocess.run(
-            [sys.executable, "-m", "scripts.aot_warm_probe"],
-            capture_output=True, text=True, timeout=max(90, remaining_s()),
-        )
-        warm_gen_s = json.loads(out.stdout.strip().splitlines()[-1])[
-            "hypernet_gen_first_call_s"
-        ]
     except Exception:
         pass
 
@@ -318,7 +347,15 @@ def main():
                 round(1000.0 / device_ms, 1) if device_ms else None
             ),
             "hypernet_gen_first_call_s": round(gen_time_first, 3),
+            "hypernet_gen_phases_s": {
+                "model_build": round(build_s, 3),
+                "create_tasks": round(create_tasks_s, 3),
+                "prepare_serving_params": round(prepare_s, 3),
+            },
             "hypernet_gen_warm_process_s": warm_gen_s,
+            "warm_probe": warm_probe_aux,
+            "skipped_sections": skipped or None,
+            "window_ms": [round(1000.0 * w, 3) for w in window_s],
             "batch8_actions_per_sec": (
                 round(batch8_actions_per_sec, 1)
                 if batch8_actions_per_sec else None

@@ -215,51 +215,62 @@ def dino_layers_serving(x, w, b, p, eps: float = 1e-6,
     )(x, w, b, p)
 
 
-def stack_serving_layer_params(layer_params, layerscale_value: float = 1.0):
-    """Builds the kernel's (w, b, p) stacks from the standard per-layer
-    param tree (encoder/layer/{i}/... as produced by DINOv2Model /
-    converted from HF checkpoints). Run once per episode off the hot path
-    (ops/serving.py::prepare_serving_params)."""
+@functools.partial(jax.jit, static_argnames=("layerscale_value",))
+def _stack_serving_layer_params(layer_params, layerscale_value):
+    """On-device body of stack_serving_layer_params: ONE compiled program.
+
+    The previous numpy implementation fetched every per-layer leaf to the
+    host (~190 device->host transfers) and re-uploaded three big stacks —
+    each transfer a separate RPC on a tunneled/shared chip, measured 27-260 s
+    of episode-setup wall clock under contention (round-4 cold-start
+    diagnosis). Stacking inside one jit is one dispatch."""
+    ws, bs, ps = [], [], []
     num_layers = len(layer_params)
-    hidden = int(
-        np.asarray(layer_params["0"]["norm1"]["scale"]).shape[0]
-    )
-    mlp = 4 * hidden
-    w = np.zeros((num_layers, _STAGES, hidden, mlp), np.float32)
-    b = np.zeros((num_layers, _STAGES, mlp), np.float32)
-    p = np.zeros((num_layers, 6, hidden), np.float32)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
     for i in range(num_layers):
         lp = layer_params[str(i)]
         att = lp["attention"]["attention"]
         out = lp["attention"]["output"]["dense"]
         fc1 = lp["mlp"]["fc1"]
         fc2 = lp["mlp"]["fc2"]
-        w[i, 0, :, 0:hidden] = att["query"]["kernel"]
-        w[i, 0, :, hidden:2 * hidden] = att["key"]["kernel"]
-        w[i, 0, :, 2 * hidden:3 * hidden] = att["value"]["kernel"]
-        w[i, 0, :, 3 * hidden:mlp] = out["kernel"]
-        w[i, 1] = fc1["kernel"]
-        # (hidden, 4*hidden): fc2 transposed so the chunk stays
-        # (hidden, mlp)-shaped
-        w[i, 2] = np.asarray(fc2["kernel"], np.float32).T
-        b[i, 0, 0:hidden] = att["query"]["bias"]
-        b[i, 0, hidden:2 * hidden] = att["key"]["bias"]
-        b[i, 0, 2 * hidden:3 * hidden] = att["value"]["bias"]
-        b[i, 0, 3 * hidden:mlp] = out["bias"]
-        b[i, 1] = fc1["bias"]
-        b[i, 2, 0:hidden] = fc2["bias"]
-        p[i, _LN1_S] = lp["norm1"]["scale"]
-        p[i, _LN1_B] = lp["norm1"]["bias"]
-        p[i, _LN2_S] = lp["norm2"]["scale"]
-        p[i, _LN2_B] = lp["norm2"]["bias"]
-        p[i, _LS1] = layerscale_value * np.asarray(
-            lp["layer_scale1"]["lambda1"], np.float32
+        hidden = lp["norm1"]["scale"].shape[0]
+        mlp = 4 * hidden
+        # stage 0 chunk [Wq|Wk|Wv|Wo]; stage 1 W1; stage 2 W2^T — fc2
+        # transposed so the chunk stays (hidden, mlp)-shaped
+        w0 = jnp.concatenate(
+            [f32(att["query"]["kernel"]), f32(att["key"]["kernel"]),
+             f32(att["value"]["kernel"]), f32(out["kernel"])], axis=1
         )
-        p[i, _LS2] = layerscale_value * np.asarray(
-            lp["layer_scale2"]["lambda1"], np.float32
+        ws.append(jnp.stack([w0, f32(fc1["kernel"]), f32(fc2["kernel"]).T]))
+        b0 = jnp.concatenate(
+            [f32(att["query"]["bias"]), f32(att["key"]["bias"]),
+             f32(att["value"]["bias"]), f32(out["bias"])]
         )
+        pad = jnp.zeros((mlp - hidden,), jnp.float32)
+        bs.append(jnp.stack([
+            b0,
+            f32(fc1["bias"]),
+            jnp.concatenate([f32(fc2["bias"]), pad]),
+        ]))
+        ps.append(jnp.stack([
+            f32(lp["norm1"]["scale"]), f32(lp["norm1"]["bias"]),
+            f32(lp["norm2"]["scale"]), f32(lp["norm2"]["bias"]),
+            layerscale_value * f32(lp["layer_scale1"]["lambda1"]),
+            layerscale_value * f32(lp["layer_scale2"]["lambda1"]),
+        ]))
     return (
-        jnp.asarray(w, jnp.bfloat16),
-        jnp.asarray(b, jnp.float32),
-        jnp.asarray(p, jnp.float32),
+        jnp.stack(ws).astype(jnp.bfloat16),
+        jnp.stack(bs),
+        jnp.stack(ps),
+    )
+
+
+def stack_serving_layer_params(layer_params, layerscale_value: float = 1.0):
+    """Builds the kernel's (w, b, p) stacks from the standard per-layer
+    param tree (encoder/layer/{i}/... as produced by DINOv2Model /
+    converted from HF checkpoints). Run once per episode off the hot path
+    (ops/serving.py::make_pallas_trunk_net). p rows follow
+    (_LN1_S, _LN1_B, _LN2_S, _LN2_B, _LS1, _LS2)."""
+    return _stack_serving_layer_params(
+        layer_params, layerscale_value=float(layerscale_value)
     )

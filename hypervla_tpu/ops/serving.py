@@ -15,6 +15,24 @@ import numpy as np
 from hypervla_tpu.ops import preprocess
 
 
+@jax.jit
+def _cast_f32_leaves_bf16(tree):
+    """One compiled program casting every fp32 leaf to bf16.
+
+    Doing this as an eager tree_map is ~190 separate convert dispatches,
+    each a tiny compile+RPC on a tunneled/shared chip — measured 30-257 s
+    of episode setup under contention (round-4 cold-start diagnosis, the
+    r3 driver's 311.8 s hypernet_gen_first_call_s regression). One jit is
+    one dispatch."""
+    return jax.tree_util.tree_map(
+        lambda x: (
+            x.astype(jnp.bfloat16)
+            if jnp.asarray(x).dtype == jnp.float32 else x
+        ),
+        tree,
+    )
+
+
 def prepare_serving_params(model, base_params, image_size: int = 224,
                            cast_shared_bf16: bool = True):
     """Off-step preparation of an episode's generated params for serving.
@@ -37,12 +55,8 @@ def prepare_serving_params(model, base_params, image_size: int = 224,
         return base_params
     params = dict(flax.core.unfreeze(base_params))
     params["encoder"] = dict(params["encoder"])
-    params["encoder"]["image_encoder"] = jax.tree_util.tree_map(
-        lambda x: (
-            jnp.asarray(x, jnp.bfloat16)
-            if np.asarray(x).dtype == np.float32 else x
-        ),
-        dict(params["encoder"]["image_encoder"]),
+    params["encoder"]["image_encoder"] = _cast_f32_leaves_bf16(
+        dict(params["encoder"]["image_encoder"])
     )
     return params
 
@@ -133,6 +147,10 @@ def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024):
             offsets[key] = off + int(leaf.size)
     keys = sorted(offsets)
 
+    # jitted: packing eagerly is ~80 ravel+concat dispatches (each an RPC
+    # on a tunneled chip); one jit program is one dispatch and its compile
+    # is HLO-cache-persistent across processes
+    @jax.jit
     def pack(tree):
         got = jax.tree_util.tree_flatten(tree)[1]
         assert got == treedef, "tree structure changed since packer creation"
