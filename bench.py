@@ -322,7 +322,10 @@ def main():
     except Exception:
         pass
 
-    from hypervla_tpu.models.encoders.pretrained import weights_mode
+    from hypervla_tpu.models.encoders.pretrained import (
+        pretrained_unavailable_reason,
+        weights_mode,
+    )
 
     actions_per_sec = 1.0 / p50
     result = {
@@ -332,6 +335,9 @@ def main():
         "unit": "actions/s",
         "vs_baseline": round(actions_per_sec / 1000.0, 4),
         "weights": weights_mode("dinov2"),
+        # VERDICT r3 item 2: if weights are random, the artifact must carry
+        # the exact evidence of why (searched dirs + live egress probe)
+        "weights_note": pretrained_unavailable_reason("dinov2-base") or None,
         "trunk": "pallas_kernel" if trunk_kernel else "xla",
         "packed_args": bool(trunk_kernel and pack_args),
         "aux": {

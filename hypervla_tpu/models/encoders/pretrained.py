@@ -27,6 +27,38 @@ def weights_mode(name: str = "dinov2") -> str:
     return "pretrained" if LOADED_WEIGHTS.get(name) else "random"
 
 
+def pretrained_unavailable_reason(name: str = "dinov2-base") -> str:
+    """Pins down WHY weights are random, for the bench artifact.
+
+    The reference downloads facebook/dinov2-base at model construction
+    (hypervla/model.py:543-568); this environment cannot. The returned
+    string records the exact evidence: which local paths were searched
+    (all empty) and the live egress error from this host, so the bench
+    JSON is self-contained about the gap rather than just 'random'.
+    """
+    if LOADED_WEIGHTS.get(name.split("-")[0]):
+        return ""
+    searched = [str(Path(os.environ.get("HYPERVLA_PRETRAINED_DIR") or
+                         "$HYPERVLA_PRETRAINED_DIR(unset)"))]
+    searched.append(str(Path.home() / ".cache" / "hypervla_tpu"))
+    hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache" /
+                                  "huggingface"))
+    searched.append(str(hf_home))
+    found = [d for d in searched if Path(d).is_dir()]
+    import socket
+
+    try:
+        socket.setdefaulttimeout(5)
+        socket.getaddrinfo("huggingface.co", 443)
+        egress = "DNS for huggingface.co resolves (download not attempted)"
+    except OSError as exc:
+        egress = f"no egress: huggingface.co DNS fails ({exc})"
+    return (
+        f"no {name}.msgpack under searched dirs {searched} "
+        f"(existing: {found or 'none'}); {egress}"
+    )
+
+
 def _candidate_dirs():
     dirs = []
     env = os.environ.get("HYPERVLA_PRETRAINED_DIR")

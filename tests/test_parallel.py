@@ -102,17 +102,55 @@ def test_tp_mesh_and_sharding_rules():
     assert set(shardings["square"].spec) == {"fsdp", "model"}
 
 
-def test_tp_train_step_runs():
+def test_tp_train_step_runs(monkeypatch):
     """The driver contract: the full train step executes on a
-    dp=2 x fsdp=2 x model=2 mesh (same path dryrun_multichip takes).
+    dp=2 x fsdp=2 x model=2 mesh (same path dryrun_multichip takes),
+    with the single-device loss pin and the HLO partition assertions.
 
     Note: the SmallStem tiny config crashes XLA's CPU SPMD partitioner under
     this 3-axis mesh (compiler abort, not a framework error); the flagship
     DINOv2-test topology partitions fine, so that is what multi-chip runs
-    — and what this test exercises."""
+    — and what this test exercises. The 16-device child is skipped here to
+    keep the chunk under budget; the driver's dryrun run covers it."""
     import __graft_entry__ as graft
 
+    monkeypatch.setenv("HYPERVLA_DRYRUN_SKIP_16", "1")
     graft.dryrun_multichip(8)
+
+
+def test_hlo_check_detects_partitioning():
+    """check_fanout_partitioned: passes on a genuinely model-sharded
+    program, and FAILS when handed a replicated module text (the 'XLA
+    gathered everything' failure mode it exists to catch)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from hypervla_tpu.parallel.hlo_checks import check_fanout_partitioned
+    from hypervla_tpu.parallel.mesh import create_mesh, fsdp_sharding
+
+    mesh = create_mesh(fsdp=2, tp=2)
+    params = {"fanout_kernel": jnp.zeros((64, 4096), jnp.float32)}
+    shardings = fsdp_sharding(mesh, params)
+    placed = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    x = jax.device_put(
+        jnp.ones((8, 64), jnp.float32),
+        NamedSharding(mesh, PartitionSpec("data", None)),
+    )
+
+    @jax.jit
+    def fwd(p, x):
+        return (x @ p["fanout_kernel"]).sum()
+
+    compiled = fwd.lower(placed, x).compile()
+    summary = check_fanout_partitioned(compiled.as_text(), mesh, params)
+    assert summary["global_shape"] == [64, 4096]
+    assert summary["local_shape"] == [32, 2048]
+    assert summary["collectives"]["all-reduce"] > 0
+
+    # Negative: a module text where the kernel ALSO appears at its full
+    # global shape (XLA all-gathered it somewhere) must be rejected.
+    fake = "f32[32,2048] dot f32[64,4096] all-reduce f32[32,2048]"
+    with pytest.raises(AssertionError, match="full global shape"):
+        check_fanout_partitioned(fake, mesh, params)
 
 
 def test_train_step_fsdp4_tp2():
