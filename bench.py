@@ -127,37 +127,44 @@ def main():
             serve_net, variables = make_pallas_trunk_net(model, base_params)
             variables = jax.device_put(variables)
             if pack_args:
-                # fold the ~80 tiny leaves into per-dtype flat buffers:
-                # 83 -> 3 dispatch handles. Interleaved A/B (PERF.md r3):
-                # p90 1.421 -> 0.872 ms — the packed step is nearly immune
-                # to co-tenant contention because the per-call marshalling
-                # surface is gone.
-                pack, unpack = make_arg_packer(variables)
-                packed, big = pack(variables)
+                # fold the ~80 tiny leaves AND the episode constants (token
+                # embedding, pad mask, rng — all fixed for the episode; the
+                # argmax decode never consumes the rng) into per-dtype flat
+                # buffers: a tick dispatches packed{f32,bf16} + trunk stack
+                # + image = 4 handles. Interleaved A/B (PERF.md r3/r4):
+                # params-only packing took p90 1.421 -> 0.872 ms; folding
+                # the constants shaves the remaining 3 handles/tick.
+                episode = {
+                    "vars": variables,
+                    "tok": token_embedding,
+                    "mask": pad_mask,
+                    "rng": jax.random.key_data(rng),
+                }
+                pack, unpack = make_arg_packer(episode, coerce=True)
+                packed, big = pack(episode)
                 packed = jax.device_put(packed)
                 big = jax.device_put(big)
 
                 @jax.jit
-                def kernel_step(packed, big, images, token_embedding,
-                                pad_mask, rng):
+                def kernel_step(packed, big, images):
+                    ep = unpack(packed, big)
+                    key = jax.random.wrap_key_data(ep["rng"])
                     return serve_net.apply(
-                        unpack(packed, big),
+                        ep["vars"],
                         images.squeeze(1),
-                        token_embedding,
-                        pad_mask,
-                        rng=rng,
-                        rngs={"dropout": rng},
+                        ep["tok"],
+                        ep["mask"],
+                        rng=key,
+                        rngs={"dropout": key},
                         train=False,
                         method=BaseNetwork.predict_action,
                     )
 
-                a = kernel_step(packed, big, images, token_embedding,
-                                pad_mask, rng)
+                a = kernel_step(packed, big, images)
                 jax.block_until_ready(a)
 
                 def headline_step(images, token_embedding, pad_mask, rng):
-                    return kernel_step(packed, big, images, token_embedding,
-                                       pad_mask, rng)
+                    return kernel_step(packed, big, images)
             else:
                 @jax.jit
                 def kernel_step(variables, images, token_embedding, pad_mask,

@@ -199,8 +199,15 @@ class InferenceWrapper:
                 )
                 self._init_history = init_history
             if self.pack_args:
+                # fold the episode constants (token embedding, rng) into the
+                # per-dtype flat buffers: a tick then dispatches ~5 handles
+                self.rng, episode_key = jax.random.split(self.rng)
                 self.base_params = self._serving_step.pack_params(
-                    self.base_params
+                    self.base_params,
+                    self.instruction_dict["language_instruction"][
+                        "token_embedding"
+                    ],
+                    episode_key,
                 )
             self._serving_history = self._init_history()
         self.task_description = task_description
@@ -263,16 +270,26 @@ class InferenceWrapper:
         """One device round-trip per tick via ops/serving.py."""
         import time as _time
 
-        self.rng, key = jax.random.split(self.rng)
         start = _time.time()
-        raw_action, self._serving_history = self._serving_step(
-            self.base_params,
-            jnp.asarray(image),
-            self.instruction_dict["language_instruction"]["token_embedding"],
-            self._serving_history,
-            self.episode_step,
-            key,
-        )
+        if self.pack_args:
+            raw_action, self._serving_history = self._serving_step(
+                self.base_params,
+                jnp.asarray(image),
+                self._serving_history,
+                self.episode_step,
+            )
+        else:
+            self.rng, key = jax.random.split(self.rng)
+            raw_action, self._serving_history = self._serving_step(
+                self.base_params,
+                jnp.asarray(image),
+                self.instruction_dict["language_instruction"][
+                    "token_embedding"
+                ],
+                self._serving_history,
+                self.episode_step,
+                key,
+            )
         raw_action = np.asarray(raw_action)
         end = _time.time()
         action = self._postprocess(raw_action)

@@ -114,7 +114,8 @@ def pack_generated_params(model, base_params):
     return packed, shared, unpack
 
 
-def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024):
+def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024,
+                    coerce: bool = False):
     """Shrinks a per-call argument tree to a handful of device handles.
 
     On a shared/tunneled chip the per-call host cost tracks the argument
@@ -127,6 +128,11 @@ def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024):
     noise — unlike the 344 MB whole-tree packing measured catastrophic in
     round 1 (big leaves therefore pass through unchanged).
 
+    coerce=True additionally folds bool and 32-bit integer leaves into the
+    float32 buffer (bool via exact 0/1 cast, ints via bit-preserving
+    bitcast) so a mixed tree of params + episode-constant inputs (pad mask,
+    PRNG key data) still ships as ONE buffer per float dtype.
+
     Returns (pack, unpack): pack(tree) -> (packed: {dtype: vec}, big: list)
     runs once per episode; unpack(packed, big) -> tree is traceable and
     runs inside the per-tick jit.
@@ -138,14 +144,36 @@ def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024):
     for leaf in leaves:
         leaf = jnp.asarray(leaf)
         if leaf.size * leaf.dtype.itemsize > keep_bytes:
-            specs.append(("big", n_big))
+            specs.append(("big", n_big, None, None, None, None))
             n_big += 1
-        else:
-            key = str(leaf.dtype)
-            off = offsets.get(key, 0)
-            specs.append(("packed", key, off, int(leaf.size), leaf.shape))
-            offsets[key] = off + int(leaf.size)
+            continue
+        method = "none"
+        key = str(leaf.dtype)
+        if coerce and leaf.dtype == jnp.bool_:
+            method, key = "bool", "float32"
+        elif coerce and leaf.dtype in (jnp.int32, jnp.uint32):
+            method, key = "bitcast", "float32"
+        off = offsets.get(key, 0)
+        specs.append(
+            ("packed", key, off, int(leaf.size), leaf.shape,
+             (method, leaf.dtype))
+        )
+        offsets[key] = off + int(leaf.size)
     keys = sorted(offsets)
+
+    def _encode(leaf, method):
+        if method == "bool":
+            return leaf.astype(jnp.float32)
+        if method == "bitcast":
+            return jax.lax.bitcast_convert_type(leaf, jnp.float32)
+        return leaf
+
+    def _decode(flat, method, dtype):
+        if method == "bool":
+            return flat != 0.0
+        if method == "bitcast":
+            return jax.lax.bitcast_convert_type(flat, dtype)
+        return flat
 
     # jitted: packing eagerly is ~80 ravel+concat dispatches (each an RPC
     # on a tunneled chip); one jit program is one dispatch and its compile
@@ -161,7 +189,9 @@ def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024):
             if spec[0] == "big":
                 big.append(leaf)
             else:
-                buckets[spec[1]].append(jnp.ravel(leaf))
+                buckets[spec[1]].append(
+                    jnp.ravel(_encode(leaf, spec[5][0]))
+                )
         packed = {k: jnp.concatenate(buckets[k]) for k in keys}
         return packed, big
 
@@ -171,8 +201,9 @@ def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024):
             if spec[0] == "big":
                 out.append(big[spec[1]])
             else:
-                _, key, off, size, shape = spec
-                out.append(packed[key][off:off + size].reshape(shape))
+                _, key, off, size, shape, (method, dtype) = spec
+                flat = packed[key][off:off + size]
+                out.append(_decode(flat, method, dtype).reshape(shape))
         return jax.tree_util.tree_unflatten(treedef, out)
 
     return pack, unpack
@@ -249,10 +280,14 @@ def make_serving_step(
     kernel: base_params must then be the `variables` dict returned by
     make_pallas_trunk_net (params + trunk_kernel collections).
     pack_args=True shrinks the per-tick dispatch surface: call
-    `step_fn.pack_params(base_params)` once per episode (after
-    create_tasks/prepare/make_pallas_trunk_net) and pass its result as
-    base_params; tiny leaves travel as one flat buffer per dtype
-    (see make_arg_packer).
+    `step_fn.pack_params(base_params, token_embedding, rng)` once per
+    episode (after create_tasks/prepare/make_pallas_trunk_net) and pass its
+    result as base_params; the step is then called as
+    `step_fn(packed_episode, frame, history, step_idx)` — params AND the
+    episode-constant token embedding + PRNG key ride in one flat buffer
+    per dtype (see make_arg_packer), so a tick dispatches ~5 handles
+    instead of ~10. The rng is per-episode under pack_args (it is unused
+    by the deterministic argmax decode serving runs anyway).
     """
     from hypervla_tpu.models.base_network import BaseNetwork
 
@@ -282,15 +317,33 @@ def make_serving_step(
 
     packer_cell = {}
 
-    def _pack_params(params):
+    def _pack_params(params, token_embedding=None, rng=None):
+        if token_embedding is None:
+            raise TypeError(
+                "pack_params now folds the episode constants: call "
+                "pack_params(params, token_embedding, rng)"
+            )
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        episode = {
+            "params": params,
+            "token_embedding": jnp.asarray(token_embedding),
+            "rng": jax.random.key_data(rng),
+        }
         if "fns" not in packer_cell:
-            packer_cell["fns"] = make_arg_packer(params)
-        return packer_cell["fns"][0](params)
+            packer_cell["fns"] = make_arg_packer(episode, coerce=True)
+        return packer_cell["fns"][0](episode)
+
+    def _episode_step(packed_episode, frame, history, step_idx):
+        episode = packer_cell["fns"][1](*packed_episode)
+        rng = jax.random.wrap_key_data(episode["rng"])
+        return _single_step(
+            episode["params"], frame, episode["token_embedding"], history,
+            step_idx, rng,
+        )
 
     def _single_step(base_params, frame, token_embedding, history, step_idx,
                      rng):
-        if pack_args:
-            base_params = packer_cell["fns"][1](*base_params)
         # ---- preprocessing (device) ----
         img = preprocess.resize_image(frame, (image_size, image_size))
         if crop:
@@ -343,7 +396,7 @@ def make_serving_step(
         )
         return action, history
 
-    step_fn = jax.jit(_single_step)
+    step_fn = jax.jit(_episode_step if pack_args else _single_step)
     step_fn._single = _single_step  # reused by the multi-task wrapper
     step_fn.pack_params = _pack_params
     return step_fn, init_history

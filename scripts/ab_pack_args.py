@@ -77,14 +77,40 @@ def main():
         return apply_net(unpack(packed, big), images, token_embedding,
                          pad_mask, rng)
 
-    n_plain = len(jax.tree_util.tree_leaves(variables))
-    n_packed = len(jax.tree_util.tree_leaves((packed, big)))
-    print(f"dispatch surface: plain={n_plain} leaves, packed={n_packed}")
+    # packed_all: the episode constants (token embedding, pad mask, rng)
+    # ride in the flat buffers too — a tick dispatches packed{f32,bf16} +
+    # big trunk stack + image only
+    episode = {
+        "vars": variables,
+        "tok": token_embedding,
+        "mask": pad_mask,
+        "rng": jax.random.key_data(rng),
+    }
+    pack_all, unpack_all = make_arg_packer(episode, coerce=True)
+    packed_a, big_a = pack_all(episode)
+    packed_a = jax.device_put(packed_a)
+    big_a = jax.device_put(big_a)
+
+    @jax.jit
+    def packed_all_step(packed, big, images):
+        ep = unpack_all(packed, big)
+        return apply_net(ep["vars"], images, ep["tok"], ep["mask"],
+                         jax.random.wrap_key_data(ep["rng"]))
+
+    n_plain = len(jax.tree_util.tree_leaves(variables)) + 3
+    n_packed = len(jax.tree_util.tree_leaves((packed, big))) + 3
+    n_all = len(jax.tree_util.tree_leaves((packed_a, big_a)))
+    print(f"per-tick dispatch surface (+image): plain={n_plain + 1}, "
+          f"packed={n_packed + 1}, packed_all={n_all + 1} leaves")
 
     a = plain_step(variables, images, token_embedding, pad_mask, rng)
     b = packed_step(packed, big, images, token_embedding, pad_mask, rng)
+    c = packed_all_step(packed_a, big_a, images)
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=0, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=0, atol=2e-6
     )
     print("parity OK")
 
@@ -93,6 +119,7 @@ def main():
                                     pad_mask, rng),
         "packed": lambda: packed_step(packed, big, images, token_embedding,
                                       pad_mask, rng),
+        "packed_all": lambda: packed_all_step(packed_a, big_a, images),
     }
     windows = {k: [] for k in variants}
     for w in range(args.windows):

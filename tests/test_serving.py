@@ -273,18 +273,20 @@ def test_arg_packer_serving_step_parity():
         model, stats, image_size=224, crop=False, ensemble=False,
         pack_args=True,
     )
-    packed = packed_step.pack_params(base_params)
-    n_plain = len(jax.tree_util.tree_leaves(base_params))
+    emb = jnp.asarray(instr["language_instruction"]["token_embedding"])
+    rng = jax.random.PRNGKey(1)
+    packed = packed_step.pack_params(base_params, emb, rng)
+    n_plain = len(jax.tree_util.tree_leaves(base_params)) + 2
     n_packed = len(jax.tree_util.tree_leaves(packed))
     assert n_packed < n_plain / 4, (n_packed, n_plain)
 
     frame = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, (224, 224, 3)), jnp.uint8
     )
-    emb = jnp.asarray(instr["language_instruction"]["token_embedding"])
-    rng = jax.random.PRNGKey(1)
     a_ref, _ = plain(base_params, frame, emb, init_history(), 0, rng)
-    a_pack, _ = packed_step(packed, frame, emb, init_history(), 0, rng)
+    # pack_args folds the episode constants: the tick passes only
+    # (packed_episode, frame, history, step_idx)
+    a_pack, _ = packed_step(packed, frame, init_history(), 0)
     np.testing.assert_allclose(
         np.asarray(a_pack), np.asarray(a_ref), atol=2e-6
     )
@@ -312,3 +314,27 @@ def test_arg_packer_roundtrip_mixed_dtypes():
         ),
         tree, out,
     )
+
+
+def test_arg_packer_coerce_bool_and_ints():
+    """coerce=True folds bool and 32-bit int leaves (pad masks, PRNG key
+    data) into the float32 buffer, bit-exactly — the episode-constant fold
+    behind pack_args' 4-handle tick."""
+    from hypervla_tpu.ops.serving import make_arg_packer
+
+    tree = {
+        "mask": jnp.array([[True, False], [False, True]]),
+        "rng": jnp.array([0x9E3779B9, 0xDEADBEEF], jnp.uint32),
+        "idx": jnp.array([-3, 7, 2**31 - 1], jnp.int32),
+        "emb": jnp.arange(6.0, dtype=jnp.float32),
+        "h": jnp.full((3,), 0.25, jnp.bfloat16),
+    }
+    pack, unpack = make_arg_packer(tree, coerce=True)
+    packed, big = pack(tree)
+    assert not big
+    assert set(packed) == {"float32", "bfloat16"}, set(packed)
+    out = jax.jit(unpack)(packed, big)
+    for key in tree:
+        got, want = np.asarray(out[key]), np.asarray(tree[key])
+        assert got.dtype == want.dtype, (key, got.dtype, want.dtype)
+        np.testing.assert_array_equal(got, want, err_msg=key)
