@@ -71,11 +71,26 @@ def load_hypervla_policy(
 
 
 def build_text_encoder(model, tokenizer_name: str = "t5-base",
-                       max_length: int = 32):
+                       max_length: Optional[int] = None):
     """Returns encode(str | list[str]) -> instruction dict with token
     embeddings, using the native T5 encoder (+ pretrained weights if found).
+
+    When `model` is a HyperVLA (or anything carrying an example_batch) the
+    tokenizer max_length defaults to the instruction length the checkpoint
+    was trained with — the hypernet's task positional embedding is sized to
+    it, so a mismatched length fails at apply time.
     """
     import jax.numpy as jnp
+
+    if max_length is None:
+        try:
+            max_length = int(
+                model.example_batch["task"]["language_instruction"][
+                    "input_ids"
+                ].shape[-1]
+            )
+        except (AttributeError, KeyError, TypeError):
+            max_length = 32
 
     from hypervla_tpu.data.text_processing import HFTokenizer
     from hypervla_tpu.models.encoders.pretrained import load_t5_weights

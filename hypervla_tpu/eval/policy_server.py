@@ -143,7 +143,16 @@ def main():
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--action_ensemble", action="store_true")
     parser.add_argument("--crop", action="store_true")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (JAX_PLATFORMS is "
+                             "ignored under tunneled backends; this flips "
+                             "it in-process before JAX initializes)")
     args = parser.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from hypervla_tpu.eval.model_loading import (
         build_text_encoder,
