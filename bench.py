@@ -58,6 +58,16 @@ def main():
             return True
         return False
 
+    # stderr phase markers: a hung or killed run pins itself to a phase in
+    # whatever tail the caller captured (round-4: a driver-side timeout with
+    # zero output was undiagnosable)
+    import sys
+
+    def phase(msg):
+        print(f"[bench {time.perf_counter() - bench_t0:6.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    phase("building flagship model")
     build_t0 = time.perf_counter()
     model, batch = build_flagship(encoder_dtype="bfloat16", serving=True)
     build_s = time.perf_counter() - build_t0
@@ -70,6 +80,7 @@ def main():
     # like round 3's 311.8 s cold start pins itself to a phase (the culprit
     # there: eager per-leaf casts in prepare_serving_params, each a separate
     # compile RPC under tunnel contention; now single-jit programs)
+    phase("create_tasks (hypernet generation)")
     gen_t0 = time.perf_counter()
     base_params, tasks, _ = model.create_tasks(
         instruction_dict=instruction_dict,
@@ -81,6 +92,7 @@ def main():
 
     # once per episode: bake the pos-grid interpolation for 224px and store
     # the shared trunk in bf16 (the compute dtype) — see prepare_serving_params
+    phase("prepare_serving_params")
     prep_t0 = time.perf_counter()
     base_params = prepare_serving_params(model, base_params, image_size=224)
     base_params = jax.device_put(base_params)
@@ -199,6 +211,14 @@ def main():
     # to pay that compile before the timing windows)
     action = headline_step(images, token_embedding, pad_mask, rng)
     jax.block_until_ready(action)
+    # burn-in with a true host FETCH: through tunneled backends
+    # block_until_ready can return before lazy first-call work (AOT
+    # serialization, allocator growth, a co-tenant backlog) has drained —
+    # in one round-4 run that backlog landed in timing window 1 as a
+    # 3.8 s/step outlier that ate 300 s of the bench budget
+    phase("fetched burn-in")
+    for _ in range(3):
+        np.asarray(headline_step(images, token_embedding, pad_mask, rng))
 
     # timing windows spread over ~30s: multi-tenant contention comes in
     # multi-second bursts, so percentiles over windows describe what a user
@@ -207,8 +227,13 @@ def main():
     # single co-tenant burst WAS the p90 (BENCH_r03's 1007 actions/s p90;
     # one 20 s stall observed in round-4 reruns took p90 to 9.7/s) — with 25
     # windows the p90 tolerates two burst-hit windows while total on-device
-    # work stays the same
+    # work stays the same. The loop is also wall-clock capped so a hard
+    # multi-minute stall degrades to fewer windows instead of eating the
+    # whole budget.
+    phase("timing windows")
     n_iters, n_trials = 80, 25
+    windows_t0 = time.perf_counter()
+    windows_cap_s = min(150.0, max(60.0, 0.4 * budget_s))
     window_s = []
     for _ in range(n_trials):
         t0 = time.perf_counter()
@@ -219,6 +244,12 @@ def main():
         # host fetch of the last step forces the whole in-order stream
         np.asarray(action)
         window_s.append((time.perf_counter() - t0) / n_iters)
+        if time.perf_counter() - windows_t0 > windows_cap_s:
+            skipped["windows"] = (
+                f"stopped after {len(window_s)}/{n_trials} windows "
+                f"(wall cap {windows_cap_s:.0f}s)"
+            )
+            break
         time.sleep(0.5)
     best = min(window_s)
     p50 = float(np.percentile(window_s, 50))
@@ -233,6 +264,7 @@ def main():
     try:
         # the probe is a fresh process (full import + model build before the
         # AOT-cached call), so it needs real budget
+        phase("warm-start probe (fresh subprocess)")
         if not budget_skip("warm_probe", 90):
             import subprocess
             import sys
@@ -252,6 +284,7 @@ def main():
     # production-serving configuration (one task, N concurrent envs)
     batch8_actions_per_sec = None
     try:
+        phase("batch8 section")
         if budget_skip("batch8", 120):
             raise TimeoutError("bench budget spent; skipping batch8")
         images8 = jnp.tile(images, (8, 1, 1, 1, 1))
@@ -272,6 +305,7 @@ def main():
     # one program (generated leaves batched, shared DINO trunk read once)
     multitask8_actions_per_sec = None
     try:
+        phase("multitask8 section")
         if budget_skip("multitask8", 120):
             raise TimeoutError("bench budget spent; skipping multitask8")
         from hypervla_tpu.ops.serving import make_multitask_serving_step
@@ -303,6 +337,7 @@ def main():
     # shared-host dispatch overhead
     device_ms = None
     try:
+        phase("device profiler section")
         if budget_skip("device_profile", 60):
             raise TimeoutError("bench budget spent; skipping device profile")
         import glob

@@ -58,6 +58,12 @@ _NAMED_CONFIGS = {
         hidden_size=32, num_hidden_layers=2, num_attention_heads=2,
         image_size=224,
     ),
+    # smallest geometry the Pallas layer kernels accept (hidden % 128 == 0):
+    # CPU interpret-mode integration tests of layers_impl="pallas_train"
+    "dinov2-test-wide": DINOv2Config(
+        hidden_size=128, num_hidden_layers=2, num_attention_heads=2,
+        image_size=224,
+    ),
 }
 
 
@@ -751,6 +757,108 @@ class _ScanBlock(nn.Module):
         return out[0].astype(carry.dtype), None
 
 
+def _kernel_layer_init(config):
+    """Init for one `_KernelLayerCollection` layer: a pytree-valued param
+    whose nested dict matches `_Layer`'s module tree leaf-for-leaf (names,
+    shapes, dtypes, initializer families), so checkpoints move between the
+    kernel and module paths without conversion."""
+    import zlib
+
+    c = config
+    hidden = c.hidden_size
+    mlp = c.mlp_ratio * hidden
+    kinit = _hf_init(c.initializer_range)
+
+    def init(rng):
+        def key(path):
+            return jax.random.fold_in(rng, zlib.crc32(path.encode()))
+
+        def dense(path, fin, fout):
+            return {
+                "kernel": kinit(key(path), (fin, fout), jnp.float32),
+                "bias": jnp.zeros((fout,), jnp.float32),
+            }
+
+        def norm():
+            return {
+                "scale": jnp.ones((hidden,), jnp.float32),
+                "bias": jnp.zeros((hidden,), jnp.float32),
+            }
+
+        return {
+            "norm1": norm(),
+            "attention": {
+                "attention": {
+                    "query": dense("query", hidden, hidden),
+                    "key": dense("key", hidden, hidden),
+                    "value": dense("value", hidden, hidden),
+                },
+                "output": {"dense": dense("output", hidden, hidden)},
+            },
+            "layer_scale1": {"lambda1": jnp.ones((hidden,), jnp.float32)},
+            "norm2": norm(),
+            "mlp": {
+                "fc1": dense("fc1", hidden, mlp),
+                "fc2": dense("fc2", mlp, hidden),
+            },
+            "layer_scale2": {"lambda1": jnp.ones((hidden,), jnp.float32)},
+        }
+
+    return init
+
+
+class _KernelLayerCollection(nn.Module):
+    """The trunk layers as one Pallas custom call per layer, forward and
+    backward (ops/dino_layer_train.py) — the round-4 structural training
+    lever. Param tree is layout-identical to `_LayerCollection`
+    (encoder/layer/<i>/...), declared as pytree-valued params. bf16 only;
+    pair with config["hoist_shared_trunk"] so weight cotangents accumulate
+    across the batch grid instead of per-vmap-sample."""
+
+    config: DINOv2Config
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, hidden_states, output_attentions=False):
+        c = self.config
+        assert not output_attentions, (
+            "the Pallas layer kernel does not capture attention maps"
+        )
+        assert jnp.dtype(self.dtype) == jnp.bfloat16, (
+            "dino_layer_train is a bf16 kernel; set encoder_dtype=bfloat16"
+        )
+        assert not c.use_swiglu_ffn, "layer kernel covers the MLP trunk only"
+        from hypervla_tpu.ops.dino_layer_train import dino_layer_train
+
+        f32 = lambda a: jnp.asarray(a, jnp.float32)  # noqa: E731
+        b16 = lambda a: jnp.asarray(a, jnp.bfloat16)  # noqa: E731
+        lsv = jnp.float32(c.layerscale_value)
+        x = hidden_states.astype(jnp.bfloat16)
+        for i in range(c.num_hidden_layers):
+            lp = self.param(str(i), _kernel_layer_init(c))
+            att = lp["attention"]["attention"]
+            out = lp["attention"]["output"]["dense"]
+            pv = jnp.stack([
+                f32(att["query"]["bias"]), f32(att["key"]["bias"]),
+                f32(att["value"]["bias"]), f32(out["bias"]),
+                f32(lp["mlp"]["fc2"]["bias"]),
+                f32(lp["norm1"]["scale"]), f32(lp["norm1"]["bias"]),
+                f32(lp["norm2"]["scale"]), f32(lp["norm2"]["bias"]),
+                lsv * f32(lp["layer_scale1"]["lambda1"]),
+                lsv * f32(lp["layer_scale2"]["lambda1"]),
+            ])
+            x = dino_layer_train(
+                x,
+                b16(att["query"]["kernel"]), b16(att["key"]["kernel"]),
+                b16(att["value"]["kernel"]), b16(out["kernel"]),
+                b16(lp["mlp"]["fc1"]["kernel"]),
+                b16(lp["mlp"]["fc2"]["kernel"]),
+                pv, f32(lp["mlp"]["fc1"]["bias"])[None],
+                c.num_attention_heads, c.layer_norm_eps,
+            )
+        return x, None
+
+
 class _Encoder(nn.Module):
     config: DINOv2Config
     dtype: Dtype = jnp.float32
@@ -763,9 +871,14 @@ class _Encoder(nn.Module):
     fused_add_ln: bool = False
     remat: bool = False
     remat_policy: Optional[str] = None
+    layer_kernel: bool = False
 
     @nn.compact
     def __call__(self, hidden_states, output_attentions=False):
+        if self.layer_kernel:
+            return _KernelLayerCollection(
+                self.config, dtype=self.dtype, name="layer"
+            )(hidden_states, output_attentions=output_attentions)
         if self.scan_layers:
             # stacked layer params walked by lax.scan: the whole trunk is ~16
             # parameter buffers instead of ~16 x num_layers. Cuts per-call
@@ -870,6 +983,9 @@ class DINOv2Model(nn.Module):
                 fused_attention=self.fused_attention,
                 fused_add_ln=self.fused_add_ln and not output_attentions,
                 remat=self.remat, remat_policy=self.remat_policy,
+                # "pallas_train": every layer as one differentiable Pallas
+                # custom call, forward and backward (ops/dino_layer_train.py)
+                layer_kernel=self.layers_impl == "pallas_train",
                 name="encoder",
             )(x, output_attentions=output_attentions)
         x = _layer_norm(

@@ -76,6 +76,17 @@ def make_train_step(
         and not vit_kwargs.get("sow_dino_attention", False)
         and "image_encoder" in tuple(hk.get("shared_modules") or ())
     )
+    if (vit_kwargs.get("dino_layers_impl") == "pallas_train"
+            and not hoist_trunk):
+        # inside the per-sample vmap a closed-over weight's cotangent
+        # materializes per-sample ([B, 3072, 768] instead of [3072, 768]);
+        # the layer kernel's batch-grid accumulation only exists outside it
+        raise ValueError(
+            "dino_layers_impl='pallas_train' requires the hoisted trunk: "
+            "set config['hoist_shared_trunk']=True (and keep "
+            "sow_dino_attention=False, image_embedding_noise=0, "
+            "image_encoder shared)"
+        )
 
     def _trunk_embed(trunk_tree, images):
         return model.base_net.apply(

@@ -79,6 +79,16 @@ def build_frozen_encoders(config: Dict[str, Any]):
             fused_ln=config["base_net_kwargs"]["vit_kwargs"].get(
                 "fused_layer_norm", False
             ),
+            # the frozen encode is never differentiated, so the full-layer
+            # Pallas kernel runs its cheap no-residual forward here
+            # (pallas_serving is a bs=1 inference layout — never valid here)
+            layers_impl=(
+                "pallas_train"
+                if config["base_net_kwargs"]["vit_kwargs"].get(
+                    "dino_layers_impl"
+                ) == "pallas_train"
+                else None
+            ),
         )
         image_size = config["dataset_kwargs"].get(
             "resize_size", {"primary": (224, 224)}

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--fused-attn", action="store_true",
                     help="fused Pallas MHA in the trunk "
                          "(vit_kwargs.dino_fused_attention)")
+    ap.add_argument("--layer-kernel", action="store_true",
+                    help="every DINO layer as ONE Pallas custom call fwd+bwd"
+                         " (ops/dino_layer_train.py); implies hoisted trunk")
     ap.add_argument("--dot-softmax", action="store_true",
                     help="attention softmax with MXU sum reductions")
     ap.add_argument("--hoist-trunk", action="store_true",
@@ -105,9 +108,15 @@ def main():
         from hypervla_tpu.configs import apply_fast_training_preset
 
         apply_fast_training_preset(config)
+    if args.layer_kernel:
+        vk = config["base_net_kwargs"]["vit_kwargs"]
+        vk["dino_layers_impl"] = "pallas_train"
+        vk["dino_fused_attention"] = False  # the layer kernel subsumes it
+        vk["sow_dino_attention"] = False
+        config["hoist_shared_trunk"] = True
     if (args.remat or args.flash or args.remat_policy or args.ln
             or args.dot_softmax or args.fused_attn or args.fused_add_ln
-            or args.fast):
+            or args.fast or args.layer_kernel):
         if args.remat:
             config["base_net_kwargs"]["vit_kwargs"]["remat_dino"] = True
         if args.remat_policy:
@@ -230,6 +239,7 @@ def main():
         "dot_softmax": args.dot_softmax,
         "fused_attn": args.fused_attn,
         "fused_add_ln": args.fused_add_ln,
+        "layer_kernel": args.layer_kernel,
         "fast_preset": args.fast,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,
