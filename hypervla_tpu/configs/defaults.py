@@ -271,6 +271,11 @@ def apply_fast_training_preset(config):
     - bf16 backward residuals via the custom-VJP exact GELU (round 3)
     - geometry-tuned fused Pallas MHA in the trunk (round 3: bs=64 step
       168.2 -> 150.0 ms, +12%; ops/fused_attention.py)
+    - no-residual full-layer Pallas forward for the FROZEN conditioning
+      encoder (round 4: eff-256 424.2 -> 448.5 samples/s median; the frozen
+      encode is forward-only, so it takes ops/dino_layer_train.py's
+      no-residual kernel while the differentiated trunk keeps the XLA path
+      whose backward measured faster)
     - no unused attention capture
 
     Deliberately NOT included (each measured SLOWER than baseline at
@@ -287,5 +292,6 @@ def apply_fast_training_preset(config):
     vk = config["base_net_kwargs"]["vit_kwargs"]
     vk["encoder_dtype"] = "bfloat16"
     vk["dino_fused_attention"] = True
+    config["frozen_encoder_layer_kernel"] = True
     disable_unused_attention_capture(config)
     return config

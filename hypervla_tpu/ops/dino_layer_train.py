@@ -52,8 +52,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hypervla_tpu.ops.gelu import gelu_exact_poly_f32, erf_poly_f32
 
+import os as _os
+
 _LANES = 128
-_VMEM_LIMIT = 110 * 1024 * 1024
+_VMEM_LIMIT = int(
+    _os.environ.get("HYPERVLA_LAYER_KERNEL_VMEM_MB", "110")
+) * 1024 * 1024
 
 # pv row indices (fp32 per-layer vector parameters, packed (11, H))
 (_BQ, _BK, _BV, _BO, _B2,
@@ -307,7 +311,13 @@ def _bwd_kernel(g_ref, x_ref, x1_ref, qkv_ref, p_ref, hc_ref, y1_ref,
     db1_ref[...] += db1[None]
 
 
-def _pick_bb(batch, want):
+def _pick_bb(batch, want, env=None):
+    """Largest divisor of `batch` <= want. `env` names an env-var override
+    (on-chip block-size tuning without a rebuild)."""
+    import os
+
+    if env is not None:
+        want = int(os.environ.get(env, want))
     bb = min(want, batch)
     while batch % bb:
         bb -= 1
@@ -320,7 +330,10 @@ def _fwd_call(x, wq, wk, wv, wo, w1, w2, pv, b1, heads, eps, with_res,
     mlp = w1.shape[1]
     assert hidden % _LANES == 0, hidden
     assert pv.shape == (11, hidden), pv.shape
-    bb = _pick_bb(b, 8 if not with_res else 4)
+    bb = _pick_bb(b, 8 if not with_res else 4,
+                  env=("HYPERVLA_LAYER_KERNEL_BB_FWD"
+                       if with_res else
+                       "HYPERVLA_LAYER_KERNEL_BB_INFER"))
     grid = (b // bb,)
     blk = lambda last: pl.BlockSpec((bb, seq, last), lambda nb: (nb, 0, 0))
     const = lambda *shape: pl.BlockSpec(shape, lambda nb: (0,) * len(shape))
@@ -397,7 +410,7 @@ def _vjp_bwd(heads, eps, res, g):
     interpret = jax.default_backend() == "cpu"
     b, seq, hidden = x.shape
     mlp = w1.shape[1]
-    bb = _pick_bb(b, 2)
+    bb = _pick_bb(b, 2, env="HYPERVLA_LAYER_KERNEL_BB_BWD")
     grid = (b // bb,)
     blk = lambda last: pl.BlockSpec((bb, seq, last), lambda nb: (nb, 0, 0))
     const = lambda *shape: pl.BlockSpec(shape, lambda nb: (0,) * len(shape))

@@ -80,13 +80,27 @@ def build_frozen_encoders(config: Dict[str, Any]):
                 "fused_layer_norm", False
             ),
             # the frozen encode is never differentiated, so the full-layer
-            # Pallas kernel runs its cheap no-residual forward here
+            # Pallas kernel runs its cheap no-residual forward here — a
+            # measured win on its own (28.6 vs 31.7 ms at bs=64, PERF.md
+            # round 4) even when the differentiated trunk keeps the XLA
+            # path; config["frozen_encoder_layer_kernel"] enables it
+            # independently of vit_kwargs.dino_layers_impl
             # (pallas_serving is a bs=1 inference layout — never valid here)
             layers_impl=(
                 "pallas_train"
-                if config["base_net_kwargs"]["vit_kwargs"].get(
-                    "dino_layers_impl"
-                ) == "pallas_train"
+                if (
+                    config.get("frozen_encoder_layer_kernel", False)
+                    or config["base_net_kwargs"]["vit_kwargs"].get(
+                        "dino_layers_impl"
+                    ) == "pallas_train"
+                )
+                and config["base_net_kwargs"]["vit_kwargs"].get(
+                    "encoder_dtype"
+                ) == "bfloat16"
+                # kernel geometry: 128-lane head slabs (test/tiny encoders
+                # fall back to the XLA forward)
+                and dinov2_config(name).hidden_size % 128 == 0
+                and not dinov2_config(name).use_swiglu_ffn
                 else None
             ),
         )

@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--layer-kernel", action="store_true",
                     help="every DINO layer as ONE Pallas custom call fwd+bwd"
                          " (ops/dino_layer_train.py); implies hoisted trunk")
+    ap.add_argument("--frozen-kernel", action="store_true",
+                    help="no-residual layer-kernel forward for the FROZEN "
+                         "conditioning encoder only (keeps the XLA trunk "
+                         "for the differentiated path)")
     ap.add_argument("--dot-softmax", action="store_true",
                     help="attention softmax with MXU sum reductions")
     ap.add_argument("--hoist-trunk", action="store_true",
@@ -114,6 +118,8 @@ def main():
         vk["dino_fused_attention"] = False  # the layer kernel subsumes it
         vk["sow_dino_attention"] = False
         config["hoist_shared_trunk"] = True
+    if args.frozen_kernel:
+        config["frozen_encoder_layer_kernel"] = True
     if (args.remat or args.flash or args.remat_policy or args.ln
             or args.dot_softmax or args.fused_attn or args.fused_add_ln
             or args.fast or args.layer_kernel):
@@ -240,6 +246,7 @@ def main():
         "fused_attn": args.fused_attn,
         "fused_add_ln": args.fused_add_ln,
         "layer_kernel": args.layer_kernel,
+        "frozen_kernel": args.frozen_kernel,
         "fast_preset": args.fast,
         "batch": args.batch,
         "grad_accumulation_steps": args.accum,

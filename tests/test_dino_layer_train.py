@@ -141,6 +141,20 @@ def test_primal_and_vjp_forward_agree():
     )
 
 
+def test_forward_at_dinov2_small_geometry():
+    """384-wide 6-head (dinov2-small slab shape: 3 slabs of 128 lanes)."""
+    cfg = DINOv2Config(
+        hidden_size=384, num_attention_heads=6, num_hidden_layers=1,
+    )
+    module, params, x = _params_and_input(cfg, batch=2, seq=9)
+    ref, _ = module.apply({"params": params}, x)
+    got, _ = _kernel_module(cfg).apply({"params": params}, x)
+    ref_f = np.asarray(ref, np.float32)
+    got_f = np.asarray(got, np.float32)
+    scale = np.abs(ref_f).max()
+    assert np.abs(ref_f - got_f).max() < 0.03 * max(scale, 1.0)
+
+
 def test_weight_grad_accumulates_over_batch():
     """Weight cotangents must sum over the whole batch (the kernel
     accumulates across its batch-block grid): grads at batch 4 equal the

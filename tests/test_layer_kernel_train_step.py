@@ -24,17 +24,14 @@ _WIDE = {
 }
 
 
-def _run_step(layer_kernel: bool):
-    model, _ = build_flagship(
-        tiny=True, encoder_dtype="bfloat16",
-        vit_overrides=dict(
-            _WIDE,
-            dino_layers_impl="pallas_train" if layer_kernel else None,
-        ),
+def _batch():
+    return make_flagship_batch(
+        batch_size=8, instr_len=8, action_horizon=2,
+        initial_patch_dim=32,
     )
-    batch = make_flagship_batch(
-        batch_size=8, instr_len=8, action_horizon=2, initial_patch_dim=32
-    )
+
+
+def _step_once(model, params):
     config = copy.deepcopy(model.config)
     config["hoist_shared_trunk"] = True
     tx, lr_fn, base_lr_fn, pnorm_fn = create_optimizer(
@@ -44,79 +41,34 @@ def _run_step(layer_kernel: bool):
         model, config, tx, lr_fn, base_lr_fn, pnorm_fn,
         mesh=create_mesh(), donate=False,
     )
-    state = TrainState.create(
-        jax.random.PRNGKey(0), model.params, tx, track_ema=False
-    )
+    state = TrainState.create(jax.random.PRNGKey(0), params, tx,
+                              track_ema=False)
     state = jax.device_put(state, replicated(create_mesh()))
-    new_state, info = step_fn(state, shard_batch(batch, create_mesh()))
-    return model, float(info["training_loss"]), new_state
-
-
-def test_layer_kernel_step_matches_einsum_trunk():
-    model_a, loss_ref, state_ref = _run_step(layer_kernel=False)
-    model_b, loss_ker, state_ker = _run_step(layer_kernel=True)
-    # identical init: the kernel path's pytree params are layout-identical,
-    # but init VALUES may differ (different rng folding) — so compare the
-    # param trees first and bail to structure-only if they differ
-    assert np.isfinite(loss_ref) and np.isfinite(loss_ker)
-    same_init = all(
-        np.array_equal(np.asarray(a), np.asarray(b))
-        for a, b in zip(
-            jax.tree_util.tree_leaves(jax.device_get(model_a.params)),
-            jax.tree_util.tree_leaves(jax.device_get(model_b.params)),
-        )
-    )
-    if same_init:
-        # bf16 trunks with different-but-equivalent kernels: loss agrees to
-        # bf16 tolerance
-        assert abs(loss_ref - loss_ker) < 0.02 * (abs(loss_ref) + 1e-8), (
-            loss_ref, loss_ker,
-        )
+    new_state, info = step_fn(state, shard_batch(_batch(), create_mesh()))
+    return float(info["training_loss"]), jax.device_get(new_state.params)
 
 
 def test_layer_kernel_step_same_params_loss_parity():
-    """Run BOTH step functions on the SAME param tree (kernel-path model
-    re-applied over the reference model's params) — the strict parity
-    check, independent of init rng folding."""
-    model_ref, _, _ = _run_step(layer_kernel=False)
-
+    """Both step functions on the SAME param tree (the kernel path's pytree
+    params are layout-identical): loss to bf16 tolerance, post-AdamW-update
+    param cosine per leaf."""
+    model_ref, _ = build_flagship(
+        tiny=True, encoder_dtype="bfloat16", vit_overrides=dict(_WIDE)
+    )
     model_ker, _ = build_flagship(
         tiny=True, encoder_dtype="bfloat16",
         vit_overrides=dict(_WIDE, dino_layers_impl="pallas_train"),
     )
-    batch = make_flagship_batch(
-        batch_size=8, instr_len=8, action_horizon=2, initial_patch_dim=32
-    )
-    losses = {}
-    grads = {}
-    for name, model in (("ref", model_ref), ("ker", model_ker)):
-        config = copy.deepcopy(model.config)
-        config["hoist_shared_trunk"] = True
-        tx, lr_fn, base_lr_fn, pnorm_fn = create_optimizer(
-            model.params, hn_param_type_tree(model.params),
-            **config["optimizer"],
-        )
-        step_fn = make_train_step(
-            model, config, tx, lr_fn, base_lr_fn, pnorm_fn,
-            mesh=create_mesh(), donate=False,
-        )
-        # SAME params for both paths
-        state = TrainState.create(
-            jax.random.PRNGKey(0), model_ref.params, tx, track_ema=False
-        )
-        state = jax.device_put(state, replicated(create_mesh()))
-        new_state, info = step_fn(state, shard_batch(batch, create_mesh()))
-        losses[name] = float(info["training_loss"])
-        grads[name] = jax.device_get(new_state.params)
+    loss_ref, params_ref = _step_once(model_ref, model_ref.params)
+    loss_ker, params_ker = _step_once(model_ker, model_ref.params)
 
-    assert np.isfinite(losses["ref"]) and np.isfinite(losses["ker"])
-    assert abs(losses["ref"] - losses["ker"]) < 0.02 * (
-        abs(losses["ref"]) + 1e-8
-    ), losses
-    # post-update params: same AdamW step off bf16-equivalent grads
+    assert np.isfinite(loss_ref) and np.isfinite(loss_ker)
+    assert abs(loss_ref - loss_ker) < 0.02 * (abs(loss_ref) + 1e-8), (
+        loss_ref, loss_ker,
+    )
     for (path, a), (_, b) in zip(
-        jax.tree_util.tree_flatten_with_path(grads["ref"])[0],
-        jax.tree_util.tree_flatten_with_path(grads["ker"])[0],
+        jax.tree_util.tree_flatten_with_path(params_ref)[0],
+        jax.tree_util.tree_flatten_with_path(params_ker)[0],
     ):
         af = np.asarray(a, np.float32).ravel()
         bf = np.asarray(b, np.float32).ravel()
