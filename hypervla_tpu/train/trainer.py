@@ -519,34 +519,49 @@ def _build_validation_callback(config, model, text_encode, dino_encode,
 
 
 def _prime_example_batch(batch, config, embed=True):
-    """Fills placeholder token embeddings (computed in-step during training)
-    and drops host-only fields."""
+    """embed=True (model construction): fills placeholder token/patch
+    embeddings so the example batch carries the model's full input spec.
+    embed=False (the training loop / validation feed): DROPS them — the
+    jitted train step recomputes both in-graph from input_ids and the
+    initial image (train_step.py:262-275), and shipping placeholder zeros
+    per step costs real host->device bandwidth (at bs=64 the two zero
+    tensors are ~56 MB/step, measured as the dominant per-step transfer
+    in scripts/bench_pipeline_train); ValidationCallback likewise
+    overwrites both before use (callbacks.py:313-323). Also drops
+    host-only fields either way."""
     instr = batch["task"]["language_instruction"]
-    if "token_embedding" not in instr:
-        t5_dim = 768
-        instr["token_embedding"] = np.zeros(
-            (*np.asarray(instr["input_ids"]).shape, t5_dim), np.float32
-        )
-    if config["hypernet_kwargs"].get("use_initial_image", False):
-        if "patch_embeddings" not in batch.get("initial_state", {}):
-            from hypervla_tpu.models.encoders.dinov2 import dinov2_config
+    if not embed:
+        instr.pop("token_embedding", None)
+        if isinstance(batch.get("initial_state"), dict):
+            batch["initial_state"].pop("patch_embeddings", None)
+    else:
+        if "token_embedding" not in instr:
+            t5_dim = 768
+            instr["token_embedding"] = np.zeros(
+                (*np.asarray(instr["input_ids"]).shape, t5_dim), np.float32
+            )
+        if config["hypernet_kwargs"].get("use_initial_image", False):
+            if "patch_embeddings" not in batch.get("initial_state", {}):
+                from hypervla_tpu.models.encoders.dinov2 import dinov2_config
 
-            name = config["base_net_kwargs"]["vit_kwargs"].get(
-                "pretrained_encoder_name", "dinov2-base"
-            )
-            dcfg = dinov2_config(name)
-            size = config["dataset_kwargs"].get(
-                "resize_size", {"primary": (224, 224)}
-            )["primary"]
-            patches = (size[0] // dcfg.patch_size) * (size[1] // dcfg.patch_size)
-            batch["initial_state"]["patch_embeddings"] = np.zeros(
-                (
-                    batch["action"].shape[0],
-                    patches + 1,
-                    dcfg.hidden_size,
-                ),
-                np.float32,
-            )
+                name = config["base_net_kwargs"]["vit_kwargs"].get(
+                    "pretrained_encoder_name", "dinov2-base"
+                )
+                dcfg = dinov2_config(name)
+                size = config["dataset_kwargs"].get(
+                    "resize_size", {"primary": (224, 224)}
+                )["primary"]
+                patches = (
+                    (size[0] // dcfg.patch_size) * (size[1] // dcfg.patch_size)
+                )
+                batch["initial_state"]["patch_embeddings"] = np.zeros(
+                    (
+                        batch["action"].shape[0],
+                        patches + 1,
+                        dcfg.hidden_size,
+                    ),
+                    np.float32,
+                )
     batch["task"].pop("instruction_string", None)
     batch.pop("dataset_name", None)
     return batch
