@@ -273,6 +273,26 @@ def make_train_step(
             batch["initial_state"]["patch_embeddings"] = jax.lax.stop_gradient(
                 patch
             )
+        # feeds primed with embed=False (trainer._prime_example_batch) DROP
+        # the precomputed embeddings, expecting this step to recompute them
+        # in-graph — a caller that also omits the encoder closures would
+        # otherwise hit a bare KeyError deep in the model (ADVICE r4)
+        if "token_embedding" not in batch["task"]["language_instruction"]:
+            raise ValueError(
+                "batch has no task token_embedding and no text_encode "
+                "closure was passed to make_train_step: either prime the "
+                "batch with embeddings (embed=True) or provide the frozen "
+                "T5 encoder (trainer.build_frozen_encoders)"
+            )
+        if use_initial_image and "patch_embeddings" not in batch.get(
+            "initial_state", {}
+        ):
+            raise ValueError(
+                "batch has no initial_state patch_embeddings and no "
+                "dino_encode closure was passed to make_train_step: either "
+                "prime the batch (embed=True) or provide the frozen DINOv2 "
+                "encoder (trainer.build_frozen_encoders)"
+            )
 
         rng, dropout_rng = jax.random.split(state.rng)
         batch_size = batch["action"].shape[0]

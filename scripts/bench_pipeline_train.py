@@ -189,8 +189,14 @@ def main():
           f"(build {build_s:.1f}s)", flush=True)
 
     # --- model + step, exactly the trainer's construction path ---
+    import copy
+
     rng = jax.random.PRNGKey(config.get("seed", 0))
-    example_batch = _prime_example_batch(dict(example_batch), config)
+    # deep copies: _prime_example_batch/_drawer_task_index mutate nested
+    # dicts, so a shallow dict() copy would couple the model-construction
+    # batch with the staged-batch section below (ADVICE r4)
+    raw_example_batch = copy.deepcopy(example_batch)
+    example_batch = _prime_example_batch(copy.deepcopy(example_batch), config)
     model = HyperVLA.from_config(
         config, example_batch, rng,
         dataset_statistics=getattr(dataset, "dataset_statistics", None),
@@ -220,7 +226,7 @@ def main():
         return _prime_example_batch(raw, config, embed=False), task_index
 
     # --- 2. staged-batch ceiling (same session, same program) ---
-    staged_batch, staged_ti = prepare(dict(example_batch))
+    staged_batch, staged_ti = prepare(copy.deepcopy(raw_example_batch))
     staged_batch = shard_batch(staged_batch, mesh)
     print(f"compiling (bs={args.batch}, accum={args.accum}) ...", flush=True)
     t0 = time.perf_counter()
@@ -251,10 +257,14 @@ def main():
             batch, task_index = prepare(raw)
             yield {"batch": batch, "task_index": task_index}
 
+    # one FRESH batch per micro-step: grad accumulation is optax.MultiSteps,
+    # so the real trainer consumes a new batch per step_fn call — replaying
+    # one fetched batch across the accum inner loop would understate the
+    # host-pipeline load by accum x (ADVICE r4)
     prefetched = device_prefetch(_prepared(), mesh, size=2)
     for _ in range(args.warmup):
-        item = next(prefetched)
         for _ in range(args.accum):
+            item = next(prefetched)
             state, info = step_fn(
                 state, item["batch"], item["task_index"], encoder_params,
                 with_metrics=False,
@@ -264,17 +274,18 @@ def main():
     wait_s = 0.0
     t0 = time.perf_counter()
     for i in range(args.steps):
-        tw = time.perf_counter()
-        item = next(prefetched)
-        t_wait = time.perf_counter() - tw
-        wait_s += t_wait
-        td = time.perf_counter()
+        t_wait = 0.0
+        td0 = time.perf_counter()
         for _ in range(args.accum):
+            tw = time.perf_counter()
+            item = next(prefetched)
+            t_wait += time.perf_counter() - tw
             state, info = step_fn(
                 state, item["batch"], item["task_index"], encoder_params,
                 with_metrics=False,
             )
-        t_disp = time.perf_counter() - td
+        wait_s += t_wait
+        t_disp = time.perf_counter() - td0 - t_wait
         if args.verbose:
             # verbose serializes: fetch a scalar to attribute per-step time
             # (wait vs dispatch vs device completion). The headline run does

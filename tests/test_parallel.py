@@ -103,9 +103,13 @@ def test_tp_mesh_and_sharding_rules():
 
 
 def test_tp_train_step_runs(monkeypatch):
-    """The driver contract: the full train step executes on a
-    dp=2 x fsdp=2 x model=2 mesh (same path dryrun_multichip takes),
-    with the single-device loss pin and the HLO partition assertions.
+    """The driver contract, under the DRIVER'S env: the full train step
+    executes on a dp=2 x fsdp=2 x model=2 mesh (same path dryrun_multichip
+    takes), with the single-device loss pin and the HLO partition
+    assertions — with XLA_FLAGS already pinning a (wrong) virtual device
+    count in the parent env, exactly how the driver invokes the check
+    (round-4: this was the one uncovered case and it broke the artifact;
+    the child must REPLACE the flag, not inherit it).
 
     Note: the SmallStem tiny config crashes XLA's CPU SPMD partitioner under
     this 3-axis mesh (compiler abort, not a framework error); the flagship
@@ -114,8 +118,55 @@ def test_tp_train_step_runs(monkeypatch):
     keep the chunk under budget; the driver's dryrun run covers it."""
     import __graft_entry__ as graft
 
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=4"
+    )
     monkeypatch.setenv("HYPERVLA_DRYRUN_SKIP_16", "1")
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_child_env_replaces_device_count():
+    """_child_env must REPLACE any existing device-count flag (round-4
+    regression: append-if-absent left the driver's 8 in place and the
+    16-device child saw 8 devices), and preserve unrelated flags."""
+    import __graft_entry__ as graft
+
+    env = graft._child_env(
+        16,
+        base_env={
+            "XLA_FLAGS": "--xla_cpu_foo=1 "
+            "--xla_force_host_platform_device_count=8",
+            "JAX_PLATFORMS": "tpu",
+        },
+    )
+    assert env["XLA_FLAGS"].count("xla_force_host_platform_device_count") == 1
+    assert "--xla_force_host_platform_device_count=16" in env["XLA_FLAGS"]
+    assert "--xla_cpu_foo=1" in env["XLA_FLAGS"]
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert env["_HYPERVLA_DRYRUN_CHILD"] == "1"
+
+    env = graft._child_env(8, base_env={})
+    assert env["XLA_FLAGS"] == "--xla_force_host_platform_device_count=8"
+
+
+def test_dryrun_bonus_16_failure_is_nonfatal(monkeypatch, capsys):
+    """A failure in the BONUS 16-device child must not fail the driver's
+    n_devices contract (round-4: it returned rc=1 for the whole check)."""
+    import __graft_entry__ as graft
+
+    calls = []
+
+    def fake_subprocess(n):
+        calls.append(n)
+        if n == 16:
+            raise RuntimeError("boom in bonus child")
+
+    monkeypatch.delenv("HYPERVLA_DRYRUN_SKIP_16", raising=False)
+    monkeypatch.setattr(graft, "_dryrun_in_subprocess", fake_subprocess)
+    graft.dryrun_multichip(8)  # must NOT raise
+    assert calls == [8, 16]
+    out = capsys.readouterr().out
+    assert "non-fatal" in out and "boom in bonus child" in out
 
 
 def test_hlo_check_detects_partitioning():

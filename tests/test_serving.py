@@ -292,6 +292,67 @@ def test_arg_packer_serving_step_parity():
     )
 
 
+def test_scan_serving_matches_per_tick():
+    """The K-tick lax.scan serving mode must thread history/step_idx
+    exactly as K sequential per-tick calls (ensembler in-graph), in both
+    the plain and packed-args variants."""
+    from hypervla_tpu.flagship import build_flagship
+    from hypervla_tpu.ops.serving import (
+        make_scan_serving_step,
+        make_serving_step,
+    )
+
+    model, batch = build_flagship(tiny=True)
+    stats = {
+        "mean": np.arange(7, dtype=np.float32) / 10,
+        "std": 1 + np.arange(7, dtype=np.float32) / 7,
+    }
+    example = jax.tree_util.tree_map(lambda x: np.asarray(x)[:1], batch)
+    instr = {"language_instruction": example["task"]["language_instruction"]}
+    base_params, _, _ = model.create_tasks(
+        instruction_dict=instr, initial_state=example["initial_state"]
+    )
+    emb = jnp.asarray(instr["language_instruction"]["token_embedding"])
+    rng = jax.random.PRNGKey(1)
+    k = 4
+    frames = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (k, 224, 224, 3)),
+        jnp.uint8,
+    )
+
+    tick, init_history = make_serving_step(
+        model, stats, image_size=224, crop=False, ensemble=True,
+        ensemble_temp=0.5,
+    )
+    hist = init_history()
+    expect = []
+    for t in range(k):
+        a, hist = tick(base_params, frames[t], emb, hist, t, rng)
+        expect.append(np.asarray(a))
+    expect_hist = np.asarray(hist)
+
+    scan, scan_init = make_scan_serving_step(
+        model, stats, k, image_size=224, crop=False, ensemble=True,
+        ensemble_temp=0.5,
+    )
+    actions, hist2 = scan(base_params, frames, emb, scan_init(), 0, rng)
+    np.testing.assert_allclose(
+        np.asarray(actions), np.stack(expect), atol=2e-6
+    )
+    np.testing.assert_allclose(np.asarray(hist2), expect_hist, atol=2e-6)
+
+    # packed variant: same actions, episode folded into flat buffers
+    scan_p, _ = make_scan_serving_step(
+        model, stats, k, image_size=224, crop=False, ensemble=True,
+        ensemble_temp=0.5, pack_args=True,
+    )
+    packed = scan_p.pack_params(base_params, emb, rng)
+    actions_p, _ = scan_p(packed, frames, scan_init(), 0)
+    np.testing.assert_allclose(
+        np.asarray(actions_p), np.stack(expect), atol=2e-6
+    )
+
+
 def test_arg_packer_roundtrip_mixed_dtypes():
     """make_arg_packer reconstructs an arbitrary mixed-dtype tree exactly,
     keeping big leaves as pass-through handles."""
