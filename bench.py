@@ -120,14 +120,24 @@ def main():
             method=BaseNetwork.predict_action,
         )
 
-    # Pallas weight-streaming trunk (ops/dino_layer.py) for the bs=1
-    # headline loop; the batched paths below keep the XLA step (the kernel
-    # is bs=1). Default ON: the measured on-chip winner (PERF.md round-3
-    # serving section — interleaved A/B p50 0.985 vs 1.576 ms, p90 1.105
-    # vs 2.022 ms; the kernel's 4-leaf dispatch surface is what a
-    # contended shared chip actually rewards). HYPERVLA_TRUNK_KERNEL=0
-    # falls back to the XLA trunk.
-    trunk_kernel = os.environ.get("HYPERVLA_TRUNK_KERNEL", "1") == "1"
+    # Stacked-weights trunk for the bs=1 headline loop; the batched paths
+    # below keep the XLA step (the stacked trunks are bs=1).
+    #   "scan" (default): XLA lax.scan over the stacked per-layer weights —
+    #     the Pallas kernel's 4-handle dispatch surface and roundings with
+    #     NO Mosaic custom call. Chosen because the Pallas program's FIRST
+    #     execution through the tunneled backend costs ~583 s server-side
+    #     when its program cache is cold (measured solo, round 5) — the
+    #     attributed cause of the r3/r4 bench-budget blowouts; the scan
+    #     trunk reaches full rate immediately in any process.
+    #   "1"/"pallas": the Pallas weight-streaming kernel (ops/dino_layer.py)
+    #     — best steady-state device residency, pays the one-time program
+    #     load when the server cache is cold (8 s when warm).
+    #   "0": plain XLA trunk (~190 leaves/tick dispatch surface).
+    trunk_impl = os.environ.get("HYPERVLA_TRUNK_KERNEL", "scan")
+    trunk_impl = {
+        "1": "pallas", "pallas": "pallas", "scan": "scan", "0": "off",
+    }.get(trunk_impl, "scan")
+    trunk_kernel = trunk_impl != "off"
     pack_args = os.environ.get("HYPERVLA_PACK_ARGS", "1") == "1"
     # fine-grained phase durations for the trunk-kernel setup region —
     # VERDICT r4: ~420 s of the r4 driver run sat between
@@ -151,7 +161,13 @@ def main():
             )
 
             timed_phase("trunk_net_build")
-            serve_net, variables = make_pallas_trunk_net(model, base_params)
+            serve_net, variables = make_pallas_trunk_net(
+                model, base_params,
+                impl=(
+                    "scan_serving" if trunk_impl == "scan"
+                    else "pallas_serving"
+                ),
+            )
             variables = jax.device_put(variables)
             jax.block_until_ready(
                 jax.tree_util.tree_leaves(variables)[0]
@@ -238,6 +254,7 @@ def main():
         except Exception as exc:  # fall back to the XLA trunk
             logging.warning("trunk kernel unavailable (%s); XLA path", exc)
             trunk_kernel = False
+            trunk_impl = "off"
     if not trunk_kernel:
         def headline_step(images, token_embedding, pad_mask, rng):
             return step(base_params, images, token_embedding, pad_mask, rng)
@@ -336,7 +353,11 @@ def main():
         K = 8
         scan_step, scan_init = make_scan_serving_step(
             model, stats8, K, image_size=224, crop=False,
-            ensemble=True, trunk_kernel=trunk_kernel, pack_args=True,
+            ensemble=True,
+            trunk_kernel={"scan": "scan", "pallas": True, "off": False}[
+                trunk_impl
+            ],
+            pack_args=True,
         )
         scan_params = variables if trunk_kernel else base_params
         packed_ep = scan_step.pack_params(scan_params, token_embedding, rng)
@@ -502,7 +523,9 @@ def main():
         # VERDICT r3 item 2: if weights are random, the artifact must carry
         # the exact evidence of why (searched dirs + live egress probe)
         "weights_note": pretrained_unavailable_reason("dinov2-base") or None,
-        "trunk": "pallas_kernel" if trunk_kernel else "xla",
+        "trunk": {
+            "scan": "scan_stacked", "pallas": "pallas_kernel", "off": "xla",
+        }[trunk_impl] if trunk_kernel else "xla",
         "packed_args": bool(trunk_kernel and pack_args),
         "aux": {
             "per_step_ms_p50": round(1000.0 * p50, 3),

@@ -96,9 +96,18 @@ class InferenceWrapper:
         )
         self._serving_step = None
         self._serving_history = None
-        # run the DINOv2 trunk as the Pallas weight-streaming kernel
-        # (ops/dino_layer.py; TPU, bs=1, DINOv2-base only)
-        self.trunk_kernel = bool(trunk_kernel and self.fused_serving)
+        # run the DINOv2 trunk over pre-stacked layer weights (TPU, bs=1,
+        # DINOv2-base only): "scan"/True = XLA lax.scan twin (default when
+        # truthy — no cold-start program-load stall, PERF.md round 5);
+        # "pallas" = the Pallas weight-streaming kernel (ops/dino_layer.py;
+        # −1.5% steady state vs scan but 492-583 s first execution when the
+        # backend's program cache is cold)
+        if not (trunk_kernel and self.fused_serving):
+            self.trunk_kernel = False
+        elif trunk_kernel in ("scan", "pallas"):
+            self.trunk_kernel = trunk_kernel
+        else:
+            self.trunk_kernel = "scan"
         # pack tiny param leaves into per-dtype flat buffers once per
         # episode so each control tick dispatches a handful of handles
         # (ops/serving.py::make_arg_packer)
@@ -177,7 +186,11 @@ class InferenceWrapper:
             # per episode: stack the trunk into the kernel layout; the
             # serving step then consumes the variables dict directly
             _, self.base_params = make_pallas_trunk_net(
-                self.model, self.base_params
+                self.model, self.base_params,
+                impl=(
+                    "scan_serving" if self.trunk_kernel == "scan"
+                    else "pallas_serving"
+                ),
             )
         self.instruction_dict = instruction_dict
         if self.fused_serving:

@@ -941,6 +941,10 @@ class DINOv2Model(nn.Module):
     # come pre-stacked through the "trunk_kernel" variable collection
     # (ops/serving.py::prepare_serving_params builds it once per episode);
     # the per-layer "params" leaves are unused on this path.
+    # "scan_serving": same stacked weights, same roundings, but an XLA
+    # lax.scan layer body instead of the Mosaic custom call — loads
+    # instantly on tunneled backends where the Pallas program's first
+    # execution costs minutes (see ops/dino_layer.py).
     layers_impl: Optional[str] = None
 
     @nn.compact
@@ -953,20 +957,27 @@ class DINOv2Model(nn.Module):
         x = _Embeddings(self.config, dtype=self.dtype, name="embeddings")(
             pixel_values, deterministic=deterministic
         )
-        if self.layers_impl == "pallas_serving":
+        if self.layers_impl in ("pallas_serving", "scan_serving"):
             assert not output_attentions, (
-                "the Pallas serving trunk does not capture attention maps"
+                "the stacked serving trunks do not capture attention maps"
             )
             if not self.has_variable("trunk_kernel", "w"):
                 raise ValueError(
-                    "layers_impl='pallas_serving' needs the stacked trunk "
-                    "weights: apply with a 'trunk_kernel' collection (see "
-                    "ops/serving.py::prepare_serving_params)"
+                    f"layers_impl='{self.layers_impl}' needs the stacked "
+                    "trunk weights: apply with a 'trunk_kernel' collection "
+                    "(see ops/serving.py::prepare_serving_params)"
                 )
-            from hypervla_tpu.ops.dino_layer import dino_layers_serving
+            from hypervla_tpu.ops.dino_layer import (
+                dino_layers_serving,
+                dino_layers_serving_scan,
+            )
 
-            assert x.shape[0] == 1, "Pallas serving trunk is bs=1"
-            x = dino_layers_serving(
+            assert x.shape[0] == 1, "stacked serving trunks are bs=1"
+            trunk = (
+                dino_layers_serving if self.layers_impl == "pallas_serving"
+                else dino_layers_serving_scan
+            )
+            x = trunk(
                 x[0].astype(jnp.bfloat16),
                 self.get_variable("trunk_kernel", "w"),
                 self.get_variable("trunk_kernel", "b"),

@@ -215,6 +215,71 @@ def dino_layers_serving(x, w, b, p, eps: float = 1e-6,
     )(x, w, b, p)
 
 
+def dino_layers_serving_scan(x, w, b, p, eps: float = 1e-6):
+    """XLA `lax.scan` over the SAME stacked (w, b, p) arrays the Pallas
+    kernel streams: one fused layer body compiled once, weights as scan
+    xs. Matches the kernel's roundings (bf16 dots with fp32 accumulate,
+    fp32 LN/softmax, exact GELU) so the two trunks agree to bf16 noise.
+
+    Why it exists: the Pallas program's FIRST execution through the
+    tunneled/shared-chip backend was measured at 583 s in a solo process
+    (server-side Mosaic program load; round-5 diagnosis of the r3/r4
+    bench-budget blowouts) while an XLA-only program loads in
+    milliseconds. This trunk keeps the kernel's tiny dispatch surface —
+    3 stacked arrays instead of ~170 per-layer leaves — without any
+    custom call, so a cold process reaches full rate immediately.
+
+    x: (seq, hidden) bf16; w/b/p as in dino_layers_serving.
+    """
+    seq, hidden = x.shape
+    mlp = 4 * hidden
+    heads = hidden // _HEAD_DIM
+    x = x.astype(jnp.bfloat16)
+
+    def layer(x, wbp):
+        wl, bl, pl_ = wbp
+        dot = functools.partial(
+            jax.lax.dot_general, preferred_element_type=jnp.float32
+        )
+        n = _ln_f32(x, pl_[_LN1_S], pl_[_LN1_B], eps)
+        qkv = dot(
+            n, wl[0, :, 0:3 * hidden], (((1,), (0,)), ((), ()))
+        ).astype(jnp.bfloat16) + bl[0, 0:3 * hidden].astype(jnp.bfloat16)
+        q = qkv[:, 0:hidden] * jnp.bfloat16(0.125)
+        qh = q.reshape(seq, heads, _HEAD_DIM)
+        kh = qkv[:, hidden:2 * hidden].reshape(seq, heads, _HEAD_DIM)
+        vh = qkv[:, 2 * hidden:3 * hidden].reshape(seq, heads, _HEAD_DIM)
+        scores = jnp.einsum(
+            "shd,thd->hst", qh, kh, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16).astype(jnp.float32)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+        ao = jnp.einsum(
+            "hst,thd->shd", probs, vh, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16).reshape(seq, hidden)
+        attn_out = dot(
+            ao, wl[0, :, 3 * hidden:mlp], (((1,), (0,)), ((), ()))
+        ).astype(jnp.bfloat16) + bl[0, 3 * hidden:mlp].astype(jnp.bfloat16)
+        x = x + pl_[_LS1].astype(jnp.bfloat16) * attn_out
+
+        n2 = _ln_f32(x, pl_[_LN2_S], pl_[_LN2_B], eps)
+        hc = dot(
+            n2, wl[1], (((1,), (0,)), ((), ()))
+        ).astype(jnp.bfloat16) + bl[1].astype(jnp.bfloat16)
+        h = _gelu_exact_f32(hc)
+        # wl[2] is W2^T (hidden, mlp): contract h's mlp dim against dim 1,
+        # fp32 accumulate, one bf16 rounding — same as the kernel's fc2
+        y2 = dot(
+            h, wl[2], (((1,), (1,)), ((), ()))
+        ).astype(jnp.bfloat16) + bl[2, 0:hidden].astype(jnp.bfloat16)
+        x = x + pl_[_LS2].astype(jnp.bfloat16) * y2
+        return x, None
+
+    x, _ = jax.lax.scan(layer, x, (w, b, p))
+    return x
+
+
 @functools.partial(jax.jit, static_argnames=("layerscale_value",))
 def _stack_serving_layer_params(layer_params, layerscale_value):
     """On-device body of stack_serving_layer_params: ONE compiled program.

@@ -209,12 +209,16 @@ def make_arg_packer(example_tree, keep_bytes: int = 4 * 1024 * 1024,
     return pack, unpack
 
 
-def make_pallas_trunk_net(model, base_params):
-    """Serving variant of the base net whose DINOv2 layers run as one
-    Pallas weight-streaming kernel (ops/dino_layer.py).
+def make_pallas_trunk_net(model, base_params, impl: str = "pallas_serving"):
+    """Serving variant of the base net whose DINOv2 layers run over
+    pre-stacked per-layer weights: as ONE Pallas weight-streaming kernel
+    (impl="pallas_serving", ops/dino_layer.py) or as an XLA lax.scan with
+    identical math (impl="scan_serving" — same 3-array dispatch surface,
+    no Mosaic custom call; cold processes skip the server-side Pallas
+    program-load stall measured at 583 s through the tunneled backend).
 
     Returns (serve_net, variables): `serve_net` is the model's BaseNetwork
-    cloned with `dino_layers_impl="pallas_serving"`; `variables` is the
+    cloned with `dino_layers_impl=impl`; `variables` is the
     apply dict — {"params": <base_params with the 168 per-layer trunk
     leaves stripped>, "trunk_kernel": <3 stacked arrays>}. Run once per
     episode after `create_tasks` / `prepare_serving_params`:
@@ -227,11 +231,12 @@ def make_pallas_trunk_net(model, base_params):
 
     from hypervla_tpu.ops.dino_layer import stack_serving_layer_params
 
+    assert impl in ("pallas_serving", "scan_serving"), impl
     vit_kwargs = dict(model.config["base_net_kwargs"]["vit_kwargs"])
     assert vit_kwargs.get("encoder_type") == "DINOv2", (
-        "the Pallas trunk kernel is DINOv2-only"
+        "the stacked trunk impls are DINOv2-only"
     )
-    vit_kwargs["dino_layers_impl"] = "pallas_serving"
+    vit_kwargs["dino_layers_impl"] = impl
     vit_kwargs["sow_dino_attention"] = False
     serve_net = model.base_net.clone(vit_kwargs=vit_kwargs)
 
@@ -295,8 +300,13 @@ def make_serving_step(
     action_dim = model.config["base_net_kwargs"]["action_dim"]
     serve_net = model.base_net
     if trunk_kernel:
+        # trunk_kernel: True/"pallas" -> Pallas streaming kernel;
+        # "scan" -> the XLA lax.scan twin over the same stacked weights
+        impl = (
+            "scan_serving" if trunk_kernel == "scan" else "pallas_serving"
+        )
         vit_kwargs = dict(model.config["base_net_kwargs"]["vit_kwargs"])
-        vit_kwargs["dino_layers_impl"] = "pallas_serving"
+        vit_kwargs["dino_layers_impl"] = impl
         vit_kwargs["sow_dino_attention"] = False
         serve_net = model.base_net.clone(vit_kwargs=vit_kwargs)
 

@@ -55,6 +55,35 @@ def test_kernel_matches_flax_bf16_trunk(num_layers, seq):
     )
 
 
+@pytest.mark.parametrize("num_layers,seq", [(2, 257), (3, 128)])
+def test_scan_trunk_matches_flax_bf16_trunk(num_layers, seq):
+    """The lax.scan twin of the serving kernel: same stacked weights,
+    same roundings, must match the flax bf16 trunk as closely as the
+    Pallas kernel does (and the kernel itself, tighter)."""
+    from hypervla_tpu.ops.dino_layer import dino_layers_serving_scan
+
+    params, x, ref = _make_reference(num_layers, seq)
+    w, b, p = stack_serving_layer_params(params)
+    got = dino_layers_serving_scan(x[0], w, b, p, eps=1e-6)
+    ref_f = np.asarray(ref[0], np.float32)
+    got_f = np.asarray(got, np.float32)
+    scale = np.abs(ref_f).max()
+    assert np.isfinite(got_f).all()
+    assert np.abs(ref_f - got_f).max() < 0.03 * max(scale, 1.0), (
+        np.abs(ref_f - got_f).max(),
+        scale,
+    )
+    # scan vs Pallas kernel: identical rounding points -> tighter bound
+    kern = np.asarray(
+        dino_layers_serving(x[0], w, b, p, eps=1e-6, interpret=True),
+        np.float32,
+    )
+    assert np.abs(kern - got_f).max() < 0.01 * max(scale, 1.0), (
+        np.abs(kern - got_f).max(),
+        scale,
+    )
+
+
 def test_kernel_twelve_layer_shapes():
     """Full dinov2-base depth runs through the grid (interpret mode)."""
     params, x, ref = _make_reference(12, 257)
@@ -88,6 +117,33 @@ def test_dinov2_model_layers_impl_pallas_matches_xla():
         config=cfg, dtype=jnp.bfloat16, layers_impl="pallas_serving"
     )
     got = kern_model.apply(
+        {"params": params, "trunk_kernel": {"w": w, "b": b, "p": p}},
+        pixels,
+    ).last_hidden_state
+    err = np.abs(np.asarray(ref) - np.asarray(got)).max()
+    scale = np.abs(np.asarray(ref)).max()
+    assert err < 0.05 * max(scale, 1.0), (err, scale)
+
+
+def test_dinov2_model_layers_impl_scan_matches_xla():
+    """Module-level wiring: DINOv2Model(layers_impl='scan_serving') with
+    the trunk_kernel collection matches the standard bf16 forward."""
+    cfg = DINOv2Config()
+    pixels = jax.random.normal(jax.random.PRNGKey(0), (1, 56, 56, 3))
+
+    from hypervla_tpu.models.encoders.dinov2 import DINOv2Model
+
+    ref_model = DINOv2Model(config=cfg, dtype=jnp.bfloat16)
+    params = ref_model.init(jax.random.PRNGKey(1), pixels)["params"]
+    ref = ref_model.apply({"params": params}, pixels).last_hidden_state
+
+    w, b, p = stack_serving_layer_params(
+        params["encoder"]["layer"], layerscale_value=cfg.layerscale_value
+    )
+    scan_model = DINOv2Model(
+        config=cfg, dtype=jnp.bfloat16, layers_impl="scan_serving"
+    )
+    got = scan_model.apply(
         {"params": params, "trunk_kernel": {"w": w, "b": b, "p": p}},
         pixels,
     ).last_hidden_state
@@ -219,6 +275,17 @@ def test_make_serving_step_trunk_kernel_matches_xla():
     assert np.isfinite(a_kern).all()
     scale = np.abs(a_ref).max() + 1e-3
     assert np.abs(a_ref - a_kern).max() < 0.05 * scale, (a_ref, a_kern)
+
+    # scan twin: same stacked weights via trunk_kernel="scan"
+    step_scan, _ = make_serving_step(
+        model, stats, crop=False, ensemble=False, trunk_kernel="scan"
+    )
+    a_scan, _ = step_scan(
+        variables, frame, emb, init_hist(), jnp.zeros((), jnp.int32), rng
+    )
+    a_scan = np.asarray(a_scan, np.float32)
+    assert np.isfinite(a_scan).all()
+    assert np.abs(a_ref - a_scan).max() < 0.05 * scale, (a_ref, a_scan)
 
 
 @pytest.mark.parametrize("hidden,heads", [(384, 6), (1024, 16)])
