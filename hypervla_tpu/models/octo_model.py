@@ -268,8 +268,23 @@ class OctoModel:
     @classmethod
     def load_pretrained(cls, checkpoint_path: str,
                         step: Optional[int] = None) -> "OctoModel":
+        """Load a `save_pretrained` checkpoint from a directory or an
+        `hf://org/repo` HuggingFace reference (parity:
+        octo/model/octo_model.py:266-273 + _download_from_huggingface).
+        Hub refs resolve through the local HF cache first, so an
+        egress-less host works with a pre-populated cache
+        (HF_HUB_CACHE / ~/.cache/huggingface)."""
         import orbax.checkpoint as ocp
 
+        if checkpoint_path.startswith("hf://"):
+            if step:
+                raise ValueError(
+                    "step cannot be set when loading from HuggingFace; "
+                    "hub snapshots pin their own revision"
+                )
+            checkpoint_path = _resolve_hf_checkpoint(
+                checkpoint_path.removeprefix("hf://")
+            )
         checkpoint_path = os.path.abspath(checkpoint_path)
         with open(os.path.join(checkpoint_path, "config.json")) as f:
             config = json.load(f)
@@ -368,3 +383,35 @@ def _verify_shapes(pytree, name: str, example_pytree, starting_dim: int = 0,
     if raise_error and (fail or (weak_fail and strict)):
         raise AssertionError(f"{name} does not match the example batch.")
     return weak_fail or fail
+
+
+def _resolve_hf_checkpoint(repo_id: str) -> str:
+    """Resolve an `hf://` repo to a local snapshot directory (parity:
+    octo/model/octo_model.py:579-583).
+
+    Order: (1) the local HuggingFace cache (HF_HUB_CACHE /
+    ~/.cache/huggingface) with no network touched, so pre-provisioned
+    egress-less hosts — this environment — work offline; (2) a live
+    `snapshot_download`. Failures of both raise one actionable error
+    carrying each cause and the provisioning hint.
+    """
+    from huggingface_hub import snapshot_download
+
+    # read at call time: huggingface_hub freezes HF_HUB_CACHE into its
+    # constants at import, which would defeat monkeypatched/test caches
+    cache_dir = os.environ.get("HF_HUB_CACHE")
+    try:
+        return snapshot_download(
+            repo_id, local_files_only=True, cache_dir=cache_dir
+        )
+    except Exception as cache_miss:
+        try:
+            return snapshot_download(repo_id, cache_dir=cache_dir)
+        except Exception as network_err:
+            raise FileNotFoundError(
+                f"hf://{repo_id} is not in the local HuggingFace cache "
+                f"({cache_miss}) and downloading failed ({network_err}). "
+                "On a host with egress: `python -c \"from huggingface_hub "
+                f"import snapshot_download; snapshot_download('{repo_id}')\"`"
+                " then copy $HF_HUB_CACHE here."
+            ) from network_err

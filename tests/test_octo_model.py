@@ -108,3 +108,38 @@ def test_octo_model_end_to_end(tmp_path):
         jax.tree_util.tree_leaves(loaded.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_octo_load_pretrained_hf_uri(tmp_path, monkeypatch):
+    """`hf://org/repo` resolution (parity: octo/model/octo_model.py:266-273)
+    against a pre-populated local HF cache — the egress-less path this
+    environment actually uses."""
+    config = _octo_config()
+    config["model"]["use_pretrained_image_tokenizer"] = True
+    batch = _example_batch()
+    model = OctoModel.from_config(
+        config, batch, text_processor=_TinyTextProcessor()
+    )
+
+    cache = tmp_path / "hf_cache"
+    repo = cache / "models--test-org--tiny-octo"
+    snapshot = repo / "snapshots" / "abcdef123456"
+    snapshot.mkdir(parents=True)
+    (repo / "refs").mkdir()
+    (repo / "refs" / "main").write_text("abcdef123456")
+    model.save_pretrained(step=1, checkpoint_path=str(snapshot))
+
+    monkeypatch.setenv("HF_HUB_CACHE", str(cache))
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    loaded = OctoModel.load_pretrained("hf://test-org/tiny-octo")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(model.params),
+        jax.tree_util.tree_leaves(loaded.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="hub snapshots pin"):
+        OctoModel.load_pretrained("hf://test-org/tiny-octo", step=1)
+
+    with pytest.raises(FileNotFoundError, match="not in the local"):
+        OctoModel.load_pretrained("hf://test-org/definitely-absent")
