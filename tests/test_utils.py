@@ -28,3 +28,29 @@ def test_fast_device_get_roundtrip():
     )
     assert out["b"]["d"].dtype == np.int32
     assert out["a"].dtype == np.float32
+
+
+def test_tunnel_probe_script():
+    """scripts/tunnel_probe must keep printing its one JSON line with the
+    stable keys (bench.py parses it; its program bytes are meant to stay
+    byte-identical across rounds, so changes here are suspect)."""
+    import json
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from scripts.tunnel_probe import main; main()"
+    )
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=300, cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    for key in ("first_fetch_s", "roundtrip_ms_median", "roundtrip_ms_best",
+                "fetch512k_ms_median"):
+        assert isinstance(rec[key], float), (key, rec)
