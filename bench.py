@@ -63,9 +63,106 @@ def main():
     # zero output was undiagnosable)
     import sys
 
+    # shared progress state for the hard-deadline watchdog below: sections
+    # deposit results here the moment they exist, so a partial emission is
+    # possible from any point of the run
+    shared = {"phase": "start", "procs": [], "skipped": skipped}
+
     def phase(msg):
+        shared["phase"] = msg
         print(f"[bench {time.perf_counter() - bench_t0:6.1f}s] {msg}",
               file=sys.stderr, flush=True)
+
+    # Hard-deadline watchdog (round 5): on degraded-tunnel days a section's
+    # FIRST device execution can stall for many minutes with no way to
+    # interrupt it from Python (one run had the batch8 warmup stall >820 s,
+    # overrunning the outer command timeout — the whole artifact was lost,
+    # headline included, even though the headline had been measured 15
+    # minutes earlier). The budget guards only run BETWEEN sections; this
+    # daemon thread guarantees the one-JSON-line contract from WITHIN a
+    # stuck section: at budget + 270 s it kills the child processes, prints
+    # the headline JSON with everything measured so far (the stuck phase
+    # named in aux.hard_deadline), and exits 0.
+    import threading
+
+    done_event = threading.Event()
+    hard_deadline_s = float(
+        os.environ.get("HYPERVLA_BENCH_HARD_DEADLINE_S", budget_s + 270)
+    )
+
+    def _emit_partial():
+        window_s = shared.get("window_s") or []
+        if window_s:
+            p50 = float(np.percentile(window_s, 50))
+            value = round(1.0 / p50, 2)
+            aux_head = {
+                "per_step_ms_p50": round(1000.0 * p50, 3),
+                "per_step_ms_p90": round(
+                    1000.0 * float(np.percentile(window_s, 90)), 3
+                ),
+                "actions_per_sec_p90": round(
+                    1.0 / float(np.percentile(window_s, 90)), 2
+                ),
+                "window_ms": [round(1000.0 * w, 3) for w in window_s],
+            }
+        else:
+            value, aux_head = None, {}
+        result = {
+            "metric": "closed-loop actions/sec/chip p50 (generated "
+            "base-net step, DINOv2-base bf16 + vit 4L/64d + mix head, "
+            "bs=1)",
+            "value": value,
+            "unit": "actions/s",
+            "vs_baseline": (
+                round(value / 1000.0, 4) if value is not None else None
+            ),
+            "baseline_note": "vs_baseline = value / 1000 actions/s "
+            "north-star target (no reference measurement exists); "
+            "regime: p50",
+            "aux": {
+                **aux_head,
+                **{k: shared[k] for k in (
+                    "hypernet_gen_phases_s",
+                    "device_ms_per_step", "tunnel",
+                    "batch8_actions_per_sec", "multitask8_actions_per_sec",
+                    "scan8_actions_per_sec",
+                ) if k in shared},
+                "serving_setup_phases_s": {
+                    k: v
+                    for k, v in shared.get(
+                        "serving_setup_phases_s", {}
+                    ).items()
+                    if not k.startswith("_t0_")
+                },
+                "skipped_sections": dict(shared.get("skipped") or {}),
+                "hard_deadline": {
+                    "hit_at_s": round(time.perf_counter() - bench_t0, 1),
+                    "stuck_phase": shared.get("phase"),
+                    "note": "first device execution stalled past the "
+                    "hard deadline (degraded-tunnel admission stall, "
+                    "PERF.md round-5); partial artifact emitted by the "
+                    "watchdog thread",
+                },
+            },
+        }
+        print(json.dumps(result), flush=True)
+
+    def _watchdog():
+        while not done_event.wait(timeout=5.0):
+            if time.perf_counter() - bench_t0 >= hard_deadline_s:
+                if done_event.is_set():
+                    return
+                for p in shared["procs"]:
+                    try:
+                        p.kill()
+                    except Exception:
+                        pass
+                try:
+                    _emit_partial()
+                finally:
+                    os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     phase("building flagship model")
     build_t0 = time.perf_counter()
@@ -144,6 +241,12 @@ def main():
     # prepare_serving_params and the timing windows with no attribution in
     # the artifact; every sub-phase now lands in aux.serving_setup_phases_s
     setup_phases = {}
+    shared["serving_setup_phases_s"] = setup_phases
+    shared["hypernet_gen_phases_s"] = {
+        "model_build": round(build_s, 3),
+        "create_tasks": round(create_tasks_s, 3),
+        "prepare_serving_params": round(prepare_s, 3),
+    }
 
     def timed_phase(name):
         phase(name)
@@ -293,6 +396,7 @@ def main():
     windows_t0 = time.perf_counter()
     windows_cap_s = min(150.0, max(60.0, 0.4 * budget_s))
     window_s = []
+    shared["window_s"] = window_s  # appended in place; watchdog-visible
     for _ in range(n_trials):
         t0 = time.perf_counter()
         for _ in range(n_iters):
@@ -325,36 +429,42 @@ def main():
     # sections' timing loops. The headline windows above are already done,
     # so the headline is never contended.
     import subprocess
+    import tempfile
+
+    def launch(name, argv, need_s):
+        """Popen with FILE-backed stdio: a PIPE left undrained until the
+        end-of-run collect blocks the child as soon as it writes 64 KB,
+        stalling it for exactly the wall time the concurrency was meant
+        to reclaim."""
+        try:
+            phase(f"launch {name} (concurrent subprocess)")
+            if budget_skip(name, need_s):
+                return None
+            out = tempfile.TemporaryFile(mode="w+", prefix=f"bench_{name}_")
+            err = tempfile.TemporaryFile(mode="w+", prefix=f"bench_{name}_")
+            proc = subprocess.Popen(argv, stdout=out, stderr=err, text=True)
+            proc._bench_files = (out, err)
+            shared["procs"].append(proc)  # watchdog kills these on deadline
+            return proc
+        except Exception as exc:
+            logging.warning("%s launch failed: %s", name, exc)
+            return None
 
     warm_gen_s = None
-    warm_probe_aux = None
-    warm_proc = None
     train_aux = None
-    train_proc = None
-    try:
-        phase("launch warm-start probe (concurrent subprocess)")
-        if not budget_skip("warm_probe", 30):
-            warm_proc = subprocess.Popen(
-                [sys.executable, "-m", "scripts.aot_warm_probe"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            )
-    except Exception as exc:
-        logging.warning("warm probe launch failed: %s", exc)
-    try:
-        # the real single-jit GSPMD train step at the eff-256 recipe
-        # (bs=64 x 4 accum, fast preset + frozen-encoder layer kernel —
-        # the PERF.md round-4 winner) for a handful of updates
-        phase("launch train-step section (concurrent subprocess)")
-        if not budget_skip("train_step", 60):
-            train_proc = subprocess.Popen(
-                [sys.executable, "-m", "scripts.bench_train",
-                 "--batch", "64", "--accum", "4", "--fast",
-                 "--frozen-kernel", "--steps", "3", "--warmup", "1",
-                 "--trials", "2"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            )
-    except Exception as exc:
-        logging.warning("train-step launch failed: %s", exc)
+    warm_proc = launch(
+        "warm_probe", [sys.executable, "-m", "scripts.aot_warm_probe"], 30
+    )
+    # the real single-jit GSPMD train step at the eff-256 recipe (bs=64 x 4
+    # accum, fast preset + frozen-encoder layer kernel — the PERF.md
+    # round-4 winner) for a handful of updates
+    train_proc = launch(
+        "train_step",
+        [sys.executable, "-m", "scripts.bench_train",
+         "--batch", "64", "--accum", "4", "--fast", "--frozen-kernel",
+         "--steps", "3", "--warmup", "1", "--trials", "2"],
+        60,
+    )
 
     # device-true time via a short profiler capture (read with the in-repo
     # TensorBoard-free xplane parser) — separates the program's cost from
@@ -392,35 +502,11 @@ def main():
                 if "step" in name and count > best_count:
                     device_ms = ms / count
                     best_count = count
+        if device_ms is not None:
+            shared["device_ms_per_step"] = round(device_ms, 3)
         shutil.rmtree(trace_dir, ignore_errors=True)
     except Exception:
         pass
-
-    # tunnel/chip health: a BYTE-STABLE trivial program in a fresh
-    # subprocess isolates the backend's per-dispatch roundtrip from any
-    # hypervla program. On degraded-tunnel days (2026-08-21: fresh
-    # programs paid a 257-700 s server-side first-execution load and
-    # steady roundtrips were 35-60 ms vs the healthy ~1 ms) this field is
-    # what attributes a slow headline to the transport instead of the
-    # program — the probe's program bytes never change, so its own load
-    # stays server-cached across rounds.
-    tunnel_aux = None
-    import subprocess
-
-    try:
-        phase("tunnel probe (fresh subprocess)")
-        if not budget_skip("tunnel_probe", 60):
-            out = subprocess.run(
-                [sys.executable, "-m", "scripts.tunnel_probe"],
-                capture_output=True, text=True,
-                timeout=max(90, min(300, remaining_s())),
-            )
-            tunnel_aux = json.loads(out.stdout.strip().splitlines()[-1])
-    except subprocess.TimeoutExpired:
-        tunnel_aux = {"error": "probe timed out: tunnel severely degraded"}
-        logging.warning("tunnel probe timed out")
-    except Exception as exc:
-        logging.warning("tunnel probe failed: %s", exc)
 
     # batched serving: device time is dominated by reading the DINO weights
     # once per step, so batching environments multiplies actions/s — the
@@ -441,6 +527,7 @@ def main():
             a8 = step(params8, images8, emb8, mask8, rng)
         np.asarray(a8)  # fetch: forces the in-order stream (see above)
         batch8_actions_per_sec = 8 * 100 / (time.perf_counter() - t0)
+        shared["batch8_actions_per_sec"] = round(batch8_actions_per_sec, 1)
     except Exception as exc:
         logging.warning("batch8 section failed: %s", exc)
 
@@ -472,6 +559,9 @@ def main():
             a8, hist8 = multi(stacked, frames8, emb8, hist8, idx8, rngs8)
         np.asarray(a8)  # fetch: forces the in-order stream (see above)
         multitask8_actions_per_sec = 8 * 100 / (time.perf_counter() - t0)
+        shared["multitask8_actions_per_sec"] = round(
+            multitask8_actions_per_sec, 1
+        )
     except Exception as exc:
         logging.warning("multitask8 section failed: %s", exc)
 
@@ -515,8 +605,37 @@ def main():
             a_k, hist = scan_step(packed_ep, frames_k, hist, idx)
         np.asarray(a_k)  # fetch: forces the in-order stream
         scan8_actions_per_sec = K * iters / (time.perf_counter() - t0)
+        shared["scan8_actions_per_sec"] = round(scan8_actions_per_sec, 1)
     except Exception as exc:
         logging.warning("scan8 section failed: %s", exc)
+
+    # tunnel/chip health: a BYTE-STABLE trivial program in a fresh
+    # subprocess isolates the backend's per-dispatch roundtrip from any
+    # hypervla program. On degraded-tunnel days (2026-08-21: fresh
+    # programs paid a 257-700 s server-side first-execution load and
+    # steady roundtrips were 35-60 ms vs the healthy ~1 ms) this field is
+    # what attributes a slow headline to the transport instead of the
+    # program. Runs LAST among the in-process sections and with a tight
+    # cap: its own fresh-process admission stall can hit the same
+    # pathology it measures, and "timed out" IS the attribution — it does
+    # not need minutes to say so.
+    tunnel_aux = None
+    try:
+        phase("tunnel probe (fresh subprocess)")
+        if not budget_skip("tunnel_probe", 30):
+            out = subprocess.run(
+                [sys.executable, "-m", "scripts.tunnel_probe"],
+                capture_output=True, text=True,
+                timeout=max(60, min(120, remaining_s())),
+            )
+            tunnel_aux = json.loads(out.stdout.strip().splitlines()[-1])
+    except subprocess.TimeoutExpired:
+        tunnel_aux = {"error": "probe timed out: tunnel severely degraded"}
+        logging.warning("tunnel probe timed out")
+    except Exception as exc:
+        logging.warning("tunnel probe failed: %s", exc)
+    if tunnel_aux is not None:
+        shared["tunnel"] = tunnel_aux
 
     # collect the two concurrent subprocesses launched after the windows.
     # Whatever budget is left is their deadline (with a floor: most of
@@ -524,25 +643,34 @@ def main():
     def collect(proc, name, floor_s):
         if proc is None:
             return None
+        out_f, err_f = proc._bench_files
         try:
             phase(f"collect {name}")
-            out, err = proc.communicate(
-                timeout=max(floor_s, remaining_s())
-            )
+            try:
+                proc.wait(timeout=max(floor_s, remaining_s()))
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                proc.wait()
+                skipped[name] = (
+                    f"timed out (grace {floor_s}s after the in-process "
+                    "sections)"
+                )
+                logging.warning("%s timed out", name)
+                return None
+            out_f.seek(0)
+            out = out_f.read()
             if proc.returncode != 0:
+                err_f.seek(0)
                 raise RuntimeError(
-                    f"rc={proc.returncode}: {err.strip()[-300:]}"
+                    f"rc={proc.returncode}: {err_f.read().strip()[-300:]}"
                 )
             return json.loads(out.strip().splitlines()[-1])
-        except subprocess.TimeoutExpired:
-            proc.kill()
-            proc.communicate()
-            skipped[name] = f"timed out (deadline {floor_s}s past budget)"
-            logging.warning("%s timed out", name)
-            return None
         except Exception as exc:
             logging.warning("%s failed: %s", name, exc)
             return None
+        finally:
+            out_f.close()
+            err_f.close()
 
     warm_probe_aux = collect(warm_proc, "warm_probe", 30)
     if warm_probe_aux:
@@ -635,6 +763,7 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    done_event.set()  # the watchdog must not also emit
     print(json.dumps(result))
 
 
