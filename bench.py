@@ -232,7 +232,8 @@ def main():
     #   "0": plain XLA trunk (~190 leaves/tick dispatch surface).
     trunk_impl = os.environ.get("HYPERVLA_TRUNK_KERNEL", "scan")
     trunk_impl = {
-        "1": "pallas", "pallas": "pallas", "scan": "scan", "0": "off",
+        "1": "pallas", "pallas": "pallas", "scan": "scan",
+        "unroll": "unroll", "0": "off",
     }.get(trunk_impl, "scan")
     trunk_kernel = trunk_impl != "off"
     pack_args = os.environ.get("HYPERVLA_PACK_ARGS", "1") == "1"
@@ -266,10 +267,9 @@ def main():
             timed_phase("trunk_net_build")
             serve_net, variables = make_pallas_trunk_net(
                 model, base_params,
-                impl=(
-                    "scan_serving" if trunk_impl == "scan"
-                    else "pallas_serving"
-                ),
+                impl={
+                    "scan": "scan_serving", "unroll": "unroll_serving",
+                }.get(trunk_impl, "pallas_serving"),
             )
             variables = jax.device_put(variables)
             jax.block_until_ready(
@@ -582,9 +582,10 @@ def main():
         scan_step, scan_init = make_scan_serving_step(
             model, stats8, K, image_size=224, crop=False,
             ensemble=True,
-            trunk_kernel={"scan": "scan", "pallas": True, "off": False}[
-                trunk_impl
-            ],
+            trunk_kernel={
+                "scan": "scan", "unroll": "unroll", "pallas": True,
+                "off": False,
+            }[trunk_impl],
             pack_args=True,
         )
         scan_params = variables if trunk_kernel else base_params
@@ -711,7 +712,8 @@ def main():
         # the exact evidence of why (searched dirs + live egress probe)
         "weights_note": pretrained_unavailable_reason("dinov2-base") or None,
         "trunk": {
-            "scan": "scan_stacked", "pallas": "pallas_kernel", "off": "xla",
+            "scan": "scan_stacked", "unroll": "unroll_stacked",
+            "pallas": "pallas_kernel", "off": "xla",
         }[trunk_impl] if trunk_kernel else "xla",
         "packed_args": bool(trunk_kernel and pack_args),
         "aux": {

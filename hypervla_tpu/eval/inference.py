@@ -104,7 +104,7 @@ class InferenceWrapper:
         # backend's program cache is cold)
         if not (trunk_kernel and self.fused_serving):
             self.trunk_kernel = False
-        elif trunk_kernel in ("scan", "pallas"):
+        elif trunk_kernel in ("scan", "pallas", "unroll"):
             self.trunk_kernel = trunk_kernel
         else:
             self.trunk_kernel = "scan"
@@ -187,10 +187,9 @@ class InferenceWrapper:
             # serving step then consumes the variables dict directly
             _, self.base_params = make_pallas_trunk_net(
                 self.model, self.base_params,
-                impl=(
-                    "scan_serving" if self.trunk_kernel == "scan"
-                    else "pallas_serving"
-                ),
+                impl={
+                    "scan": "scan_serving", "unroll": "unroll_serving",
+                }.get(self.trunk_kernel, "pallas_serving"),
             )
         self.instruction_dict = instruction_dict
         if self.fused_serving:

@@ -957,7 +957,9 @@ class DINOv2Model(nn.Module):
         x = _Embeddings(self.config, dtype=self.dtype, name="embeddings")(
             pixel_values, deterministic=deterministic
         )
-        if self.layers_impl in ("pallas_serving", "scan_serving"):
+        if self.layers_impl in (
+            "pallas_serving", "scan_serving", "unroll_serving"
+        ):
             assert not output_attentions, (
                 "the stacked serving trunks do not capture attention maps"
             )
@@ -970,13 +972,18 @@ class DINOv2Model(nn.Module):
             from hypervla_tpu.ops.dino_layer import (
                 dino_layers_serving,
                 dino_layers_serving_scan,
+                dino_layers_serving_unroll,
             )
 
             assert x.shape[0] == 1, "stacked serving trunks are bs=1"
-            trunk = (
-                dino_layers_serving if self.layers_impl == "pallas_serving"
-                else dino_layers_serving_scan
-            )
+            trunk = {
+                "pallas_serving": dino_layers_serving,
+                "scan_serving": dino_layers_serving_scan,
+                # statically-unrolled scan twin: the weight fetch fuses
+                # into the dots instead of a serial dynamic-slice copy
+                # pass (ops/dino_layer.py::dino_layers_serving_unroll)
+                "unroll_serving": dino_layers_serving_unroll,
+            }[self.layers_impl]
             x = trunk(
                 x[0].astype(jnp.bfloat16),
                 self.get_variable("trunk_kernel", "w"),

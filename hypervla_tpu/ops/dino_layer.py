@@ -231,52 +231,79 @@ def dino_layers_serving_scan(x, w, b, p, eps: float = 1e-6):
 
     x: (seq, hidden) bf16; w/b/p as in dino_layers_serving.
     """
-    seq, hidden = x.shape
-    mlp = 4 * hidden
-    heads = hidden // _HEAD_DIM
     x = x.astype(jnp.bfloat16)
 
     def layer(x, wbp):
-        wl, bl, pl_ = wbp
-        dot = functools.partial(
-            jax.lax.dot_general, preferred_element_type=jnp.float32
-        )
-        n = _ln_f32(x, pl_[_LN1_S], pl_[_LN1_B], eps)
-        qkv = dot(
-            n, wl[0, :, 0:3 * hidden], (((1,), (0,)), ((), ()))
-        ).astype(jnp.bfloat16) + bl[0, 0:3 * hidden].astype(jnp.bfloat16)
-        q = qkv[:, 0:hidden] * jnp.bfloat16(0.125)
-        qh = q.reshape(seq, heads, _HEAD_DIM)
-        kh = qkv[:, hidden:2 * hidden].reshape(seq, heads, _HEAD_DIM)
-        vh = qkv[:, 2 * hidden:3 * hidden].reshape(seq, heads, _HEAD_DIM)
-        scores = jnp.einsum(
-            "shd,thd->hst", qh, kh, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16).astype(jnp.float32)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        e = jnp.exp(scores - m)
-        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
-        ao = jnp.einsum(
-            "hst,thd->shd", probs, vh, preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16).reshape(seq, hidden)
-        attn_out = dot(
-            ao, wl[0, :, 3 * hidden:mlp], (((1,), (0,)), ((), ()))
-        ).astype(jnp.bfloat16) + bl[0, 3 * hidden:mlp].astype(jnp.bfloat16)
-        x = x + pl_[_LS1].astype(jnp.bfloat16) * attn_out
-
-        n2 = _ln_f32(x, pl_[_LN2_S], pl_[_LN2_B], eps)
-        hc = dot(
-            n2, wl[1], (((1,), (0,)), ((), ()))
-        ).astype(jnp.bfloat16) + bl[1].astype(jnp.bfloat16)
-        h = _gelu_exact_f32(hc)
-        # wl[2] is W2^T (hidden, mlp): contract h's mlp dim against dim 1,
-        # fp32 accumulate, one bf16 rounding — same as the kernel's fc2
-        y2 = dot(
-            h, wl[2], (((1,), (1,)), ((), ()))
-        ).astype(jnp.bfloat16) + bl[2, 0:hidden].astype(jnp.bfloat16)
-        x = x + pl_[_LS2].astype(jnp.bfloat16) * y2
-        return x, None
+        return _serving_layer_body(x, wbp, eps), None
 
     x, _ = jax.lax.scan(layer, x, (w, b, p))
+    return x
+
+
+def dino_layers_serving_unroll(x, w, b, p, eps: float = 1e-6):
+    """Statically-UNROLLED twin of dino_layers_serving_scan: a Python loop
+    over the same stacked (w, b, p) arrays with CONSTANT layer indices.
+
+    Why it exists: profiling the scan trunk at op level (round 5) showed
+    its device time dominated by a per-layer `dynamic-slice` fusion that
+    materializes the layer's 14.2 MB MLP weight slab as an explicit copy
+    pass (19.6 us/layer — the HBM-floor read time) SERIAL with the layer's
+    compute (~25 us): the scan carry structure prevents XLA from fusing
+    the weight fetch into the consuming matmuls. With constant indices the
+    slices are static, fuse into the dots, and the weight read overlaps
+    the MXU — same math, same 4-handle dispatch surface, bigger program
+    (12x the layer body, slower compile/server-load).
+    """
+    x = x.astype(jnp.bfloat16)
+    for i in range(w.shape[0]):
+        x = _serving_layer_body(x, (w[i], b[i], p[i]), eps)
+    return x
+
+
+def _serving_layer_body(x, wbp, eps):
+    """One DINO layer, the serving trunks' shared body (bf16 dots with
+    fp32 accumulate, fp32 LN/softmax, exact GELU — the Pallas kernel's
+    roundings). x: (seq, hidden) bf16; (wl, bl, pl_) one layer's slabs."""
+    seq, hidden = x.shape
+    mlp = 4 * hidden
+    heads = hidden // _HEAD_DIM
+    wl, bl, pl_ = wbp
+    dot = functools.partial(
+        jax.lax.dot_general, preferred_element_type=jnp.float32
+    )
+    n = _ln_f32(x, pl_[_LN1_S], pl_[_LN1_B], eps)
+    qkv = dot(
+        n, wl[0, :, 0:3 * hidden], (((1,), (0,)), ((), ()))
+    ).astype(jnp.bfloat16) + bl[0, 0:3 * hidden].astype(jnp.bfloat16)
+    q = qkv[:, 0:hidden] * jnp.bfloat16(0.125)
+    qh = q.reshape(seq, heads, _HEAD_DIM)
+    kh = qkv[:, hidden:2 * hidden].reshape(seq, heads, _HEAD_DIM)
+    vh = qkv[:, 2 * hidden:3 * hidden].reshape(seq, heads, _HEAD_DIM)
+    scores = jnp.einsum(
+        "shd,thd->hst", qh, kh, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16).astype(jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+    ao = jnp.einsum(
+        "hst,thd->shd", probs, vh, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16).reshape(seq, hidden)
+    attn_out = dot(
+        ao, wl[0, :, 3 * hidden:mlp], (((1,), (0,)), ((), ()))
+    ).astype(jnp.bfloat16) + bl[0, 3 * hidden:mlp].astype(jnp.bfloat16)
+    x = x + pl_[_LS1].astype(jnp.bfloat16) * attn_out
+
+    n2 = _ln_f32(x, pl_[_LN2_S], pl_[_LN2_B], eps)
+    hc = dot(
+        n2, wl[1], (((1,), (0,)), ((), ()))
+    ).astype(jnp.bfloat16) + bl[1].astype(jnp.bfloat16)
+    h = _gelu_exact_f32(hc)
+    # wl[2] is W2^T (hidden, mlp): contract h's mlp dim against dim 1,
+    # fp32 accumulate, one bf16 rounding — same as the kernel's fc2
+    y2 = dot(
+        h, wl[2], (((1,), (1,)), ((), ()))
+    ).astype(jnp.bfloat16) + bl[2, 0:hidden].astype(jnp.bfloat16)
+    x = x + pl_[_LS2].astype(jnp.bfloat16) * y2
     return x
 
 

@@ -231,7 +231,7 @@ def make_pallas_trunk_net(model, base_params, impl: str = "pallas_serving"):
 
     from hypervla_tpu.ops.dino_layer import stack_serving_layer_params
 
-    assert impl in ("pallas_serving", "scan_serving"), impl
+    assert impl in ("pallas_serving", "scan_serving", "unroll_serving"), impl
     vit_kwargs = dict(model.config["base_net_kwargs"]["vit_kwargs"])
     assert vit_kwargs.get("encoder_type") == "DINOv2", (
         "the stacked trunk impls are DINOv2-only"
@@ -301,10 +301,12 @@ def make_serving_step(
     serve_net = model.base_net
     if trunk_kernel:
         # trunk_kernel: True/"pallas" -> Pallas streaming kernel;
-        # "scan" -> the XLA lax.scan twin over the same stacked weights
-        impl = (
-            "scan_serving" if trunk_kernel == "scan" else "pallas_serving"
-        )
+        # "scan" -> the XLA lax.scan twin over the same stacked weights;
+        # "unroll" -> the statically-unrolled twin (weight fetch fused
+        # into the dots — fastest device time, biggest program)
+        impl = {
+            "scan": "scan_serving", "unroll": "unroll_serving",
+        }.get(trunk_kernel, "pallas_serving")
         vit_kwargs = dict(model.config["base_net_kwargs"]["vit_kwargs"])
         vit_kwargs["dino_layers_impl"] = impl
         vit_kwargs["sow_dino_attention"] = False

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--windows", type=int, default=8,
                     help="windows PER VARIANT (alternating)")
     ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--impls", type=str,
+                    default="pallas_serving,scan_serving",
+                    help="comma-separated trunk impls to interleave "
+                    "(pallas_serving, scan_serving, unroll_serving)")
     args = ap.parse_args()
 
     from hypervla_tpu.flagship import build_flagship
@@ -62,7 +66,7 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     steps = {}
-    for impl in ("pallas_serving", "scan_serving"):
+    for impl in args.impls.split(","):
         serve_net, variables = make_pallas_trunk_net(
             model, base_params, impl=impl
         )

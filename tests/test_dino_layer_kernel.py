@@ -308,3 +308,63 @@ def test_kernel_other_geometries(hidden, heads):
     ).max()
     scale = np.abs(np.asarray(ref[0], np.float32)).max()
     assert err < 0.03 * max(scale, 1.0), (err, scale)
+
+
+@pytest.mark.parametrize("num_layers,seq", [(2, 257), (3, 128)])
+def test_unroll_trunk_matches_scan(num_layers, seq):
+    """The statically-unrolled twin shares the scan trunk's exact layer
+    body (_serving_layer_body); XLA may still tile the dots differently
+    between the two compilations (different fp32 accumulation order under
+    one bf16 rounding), so the bound is the tight same-rounding-points
+    one used for scan-vs-kernel, not bitwise."""
+    from hypervla_tpu.ops.dino_layer import (
+        dino_layers_serving_scan,
+        dino_layers_serving_unroll,
+    )
+
+    params, x, ref = _make_reference(num_layers, seq)
+    w, b, p = stack_serving_layer_params(params)
+    got = np.asarray(
+        dino_layers_serving_unroll(x[0], w, b, p, eps=1e-6), np.float32
+    )
+    ref_scan = np.asarray(
+        dino_layers_serving_scan(x[0], w, b, p, eps=1e-6), np.float32
+    )
+    scale = np.abs(ref_scan).max()
+    assert np.isfinite(got).all()
+    assert np.abs(ref_scan - got).max() < 0.01 * max(scale, 1.0), (
+        np.abs(ref_scan - got).max(), scale,
+    )
+    # and against the flax bf16 trunk like the other twins
+    ref_f = np.asarray(ref[0], np.float32)
+    assert np.abs(ref_f - got).max() < 0.03 * max(scale, 1.0)
+
+
+def test_dinov2_model_layers_impl_unroll_matches_scan():
+    """Module-level wiring: layers_impl='unroll_serving' matches the scan
+    wiring through DINOv2Model.apply (same rounding points; compilation
+    may reorder fp32 accumulation inside the dots)."""
+    from hypervla_tpu.models.encoders.dinov2 import DINOv2Model
+
+    cfg = DINOv2Config()
+    pix = jax.random.normal(jax.random.PRNGKey(0), (1, 56, 56, 3))
+    model = DINOv2Model(config=cfg, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(1), pix)["params"]
+    w, b, p = stack_serving_layer_params(
+        params["encoder"]["layer"], layerscale_value=cfg.layerscale_value
+    )
+    outs = {}
+    for impl in ("scan_serving", "unroll_serving"):
+        m = DINOv2Model(config=cfg, dtype=jnp.bfloat16, layers_impl=impl)
+        outs[impl] = np.asarray(
+            m.apply(
+                {"params": params,
+                 "trunk_kernel": {"w": w, "b": b, "p": p}},
+                pix,
+            ).last_hidden_state,
+            np.float32,
+        )
+    scale = np.abs(outs["scan_serving"]).max()
+    assert np.abs(
+        outs["scan_serving"] - outs["unroll_serving"]
+    ).max() < 0.01 * max(scale, 1.0)
