@@ -86,6 +86,10 @@ def main():
     import threading
 
     done_event = threading.Event()
+    # exactly one emitter wins: the final print and the watchdog's partial
+    # emission both run under this lock, so the artifact is always exactly
+    # one JSON line even when the deadline lands during the final print
+    emit_lock = threading.Lock()
     hard_deadline_s = float(
         os.environ.get("HYPERVLA_BENCH_HARD_DEADLINE_S", budget_s + 270)
     )
@@ -157,10 +161,15 @@ def main():
                         p.kill()
                     except Exception:
                         pass
-                try:
-                    _emit_partial()
-                finally:
-                    os._exit(0)
+                with emit_lock:
+                    if done_event.is_set():
+                        # the main thread finished while we were killing
+                        # children: its final line is the artifact
+                        return
+                    try:
+                        _emit_partial()
+                    finally:
+                        os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -230,11 +239,17 @@ def main():
     #     — best steady-state device residency, pays the one-time program
     #     load when the server cache is cold (8 s when warm).
     #   "0": plain XLA trunk (~190 leaves/tick dispatch surface).
-    trunk_impl = os.environ.get("HYPERVLA_TRUNK_KERNEL", "scan")
-    trunk_impl = {
+    trunk_env = os.environ.get("HYPERVLA_TRUNK_KERNEL", "scan")
+    trunk_map = {
         "1": "pallas", "pallas": "pallas", "scan": "scan",
         "unroll": "unroll", "0": "off",
-    }.get(trunk_impl, "scan")
+    }
+    if trunk_env not in trunk_map:
+        logging.warning(
+            "unrecognized HYPERVLA_TRUNK_KERNEL=%r; using 'scan' "
+            "(valid: %s)", trunk_env, sorted(trunk_map),
+        )
+    trunk_impl = trunk_map.get(trunk_env, "scan")
     trunk_kernel = trunk_impl != "off"
     pack_args = os.environ.get("HYPERVLA_PACK_ARGS", "1") == "1"
     # fine-grained phase durations for the trunk-kernel setup region —
@@ -265,11 +280,10 @@ def main():
             )
 
             timed_phase("trunk_net_build")
+            from hypervla_tpu.ops.serving import resolve_trunk_impl
+
             serve_net, variables = make_pallas_trunk_net(
-                model, base_params,
-                impl={
-                    "scan": "scan_serving", "unroll": "unroll_serving",
-                }.get(trunk_impl, "pallas_serving"),
+                model, base_params, impl=resolve_trunk_impl(trunk_impl),
             )
             variables = jax.device_put(variables)
             jax.block_until_ready(
@@ -505,8 +519,8 @@ def main():
         if device_ms is not None:
             shared["device_ms_per_step"] = round(device_ms, 3)
         shutil.rmtree(trace_dir, ignore_errors=True)
-    except Exception:
-        pass
+    except Exception as exc:
+        logging.warning("device profiler section failed: %s", exc)
 
     # batched serving: device time is dominated by reading the DINO weights
     # once per step, so batching environments multiplies actions/s — the
@@ -678,16 +692,28 @@ def main():
         warm_gen_s = warm_probe_aux.get("hypernet_gen_first_call_s")
     parsed = collect(train_proc, "train_step", 60)
     if parsed:
-        train_aux = {
-            "samples_per_sec_median": parsed["samples_per_sec_median"],
-            "ms_per_update_median": parsed["ms_per_update_median"],
-            "effective_batch": parsed["effective_batch"],
-            "batch": parsed["batch"],
-            "grad_accumulation_steps": parsed["grad_accumulation_steps"],
-            "fast_preset": parsed["fast_preset"],
-            "frozen_kernel": parsed["frozen_kernel"],
-            "loss": parsed["loss"],
-        }
+        try:
+            train_aux = {
+                "samples_per_sec_median": parsed["samples_per_sec_median"],
+                "ms_per_update_median": parsed["ms_per_update_median"],
+                "effective_batch": parsed["effective_batch"],
+                "batch": parsed["batch"],
+                "grad_accumulation_steps": parsed[
+                    "grad_accumulation_steps"
+                ],
+                "fast_preset": parsed["fast_preset"],
+                "frozen_kernel": parsed["frozen_kernel"],
+                "loss": parsed["loss"],
+                # methodology marker: the subprocess ran CONCURRENTLY with
+                # the in-process sections (its compile/stall overlaps
+                # them; its ~7 updates of chip work may see contention) —
+                # compare with serial builder-session numbers accordingly
+                "concurrent_with_sections": True,
+            }
+        except KeyError as exc:
+            # schema drift in scripts.bench_train must not cost the
+            # whole artifact (every section failure is recoverable)
+            logging.warning("train_step output missing key: %s", exc)
 
     from hypervla_tpu.models.encoders.pretrained import (
         pretrained_unavailable_reason,
@@ -765,8 +791,9 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
-    done_event.set()  # the watchdog must not also emit
-    print(json.dumps(result))
+    with emit_lock:
+        done_event.set()  # the watchdog must not also emit
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

@@ -39,7 +39,7 @@ class InferenceWrapper:
         save_attention_map: bool = False,
         padded_resize: bool = False,
         fused_serving: bool = False,
-        trunk_kernel: bool = False,
+        trunk_kernel: "bool | str" = False,
         pack_args: bool = False,
     ) -> None:
         self.model = model
@@ -104,10 +104,17 @@ class InferenceWrapper:
         # backend's program cache is cold)
         if not (trunk_kernel and self.fused_serving):
             self.trunk_kernel = False
-        elif trunk_kernel in ("scan", "pallas", "unroll"):
-            self.trunk_kernel = trunk_kernel
-        else:
+        elif trunk_kernel is True:
             self.trunk_kernel = "scan"
+        else:
+            # unrecognized strings raise — a typo must not silently
+            # benchmark a different trunk engine (ops/serving.py)
+            from hypervla_tpu.ops.serving import resolve_trunk_impl
+
+            self.trunk_kernel = {
+                "pallas_serving": "pallas", "scan_serving": "scan",
+                "unroll_serving": "unroll",
+            }[resolve_trunk_impl(trunk_kernel)]
         # pack tiny param leaves into per-dtype flat buffers once per
         # episode so each control tick dispatches a handful of handles
         # (ops/serving.py::make_arg_packer)
@@ -185,11 +192,11 @@ class InferenceWrapper:
 
             # per episode: stack the trunk into the kernel layout; the
             # serving step then consumes the variables dict directly
+            from hypervla_tpu.ops.serving import resolve_trunk_impl
+
             _, self.base_params = make_pallas_trunk_net(
                 self.model, self.base_params,
-                impl={
-                    "scan": "scan_serving", "unroll": "unroll_serving",
-                }.get(self.trunk_kernel, "pallas_serving"),
+                impl=resolve_trunk_impl(self.trunk_kernel),
             )
         self.instruction_dict = instruction_dict
         if self.fused_serving:

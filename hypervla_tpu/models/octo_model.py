@@ -277,7 +277,7 @@ class OctoModel:
         import orbax.checkpoint as ocp
 
         if checkpoint_path.startswith("hf://"):
-            if step:
+            if step is not None:
                 raise ValueError(
                     "step cannot be set when loading from HuggingFace; "
                     "hub snapshots pin their own revision"

@@ -33,6 +33,31 @@ def _cast_f32_leaves_bf16(tree):
     )
 
 
+#: canonical stacked-trunk impl names for user-facing trunk_kernel strings
+#: (`True` is resolved per call site: the low-level serving step keeps the
+#: Pallas kernel, InferenceWrapper/bench default to scan — no cold-start
+#: program-load stall through tunneled backends, PERF.md round 5)
+TRUNK_IMPL_ALIASES = {
+    "pallas": "pallas_serving", "1": "pallas_serving",
+    "scan": "scan_serving", "unroll": "unroll_serving",
+    "pallas_serving": "pallas_serving", "scan_serving": "scan_serving",
+    "unroll_serving": "unroll_serving",
+}
+
+
+def resolve_trunk_impl(value: str) -> str:
+    """Maps a user-facing trunk_kernel string to its canonical impl name.
+    Raises on anything unrecognized — a typo must error, not silently
+    benchmark a different trunk engine."""
+    try:
+        return TRUNK_IMPL_ALIASES[value]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"unrecognized trunk_kernel value {value!r}; expected one of "
+            + ", ".join(sorted(TRUNK_IMPL_ALIASES))
+        )
+
+
 def prepare_serving_params(model, base_params, image_size: int = 224,
                            cast_shared_bf16: bool = True):
     """Off-step preparation of an episode's generated params for serving.
@@ -302,11 +327,12 @@ def make_serving_step(
     if trunk_kernel:
         # trunk_kernel: True/"pallas" -> Pallas streaming kernel;
         # "scan" -> the XLA lax.scan twin over the same stacked weights;
-        # "unroll" -> the statically-unrolled twin (weight fetch fused
-        # into the dots — fastest device time, biggest program)
-        impl = {
-            "scan": "scan_serving", "unroll": "unroll_serving",
-        }.get(trunk_kernel, "pallas_serving")
+        # "unroll" -> the statically-unrolled twin (measured -22%,
+        # NEGATIVES.md). Unrecognized strings raise (resolve_trunk_impl).
+        impl = (
+            "pallas_serving" if trunk_kernel is True
+            else resolve_trunk_impl(trunk_kernel)
+        )
         vit_kwargs = dict(model.config["base_net_kwargs"]["vit_kwargs"])
         vit_kwargs["dino_layers_impl"] = impl
         vit_kwargs["sow_dino_attention"] = False

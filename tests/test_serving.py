@@ -399,3 +399,16 @@ def test_arg_packer_coerce_bool_and_ints():
         got, want = np.asarray(out[key]), np.asarray(tree[key])
         assert got.dtype == want.dtype, (key, got.dtype, want.dtype)
         np.testing.assert_array_equal(got, want, err_msg=key)
+
+
+def test_resolve_trunk_impl_rejects_typos():
+    from hypervla_tpu.ops.serving import resolve_trunk_impl
+
+    assert resolve_trunk_impl("scan") == "scan_serving"
+    assert resolve_trunk_impl("unroll") == "unroll_serving"
+    assert resolve_trunk_impl("pallas") == "pallas_serving"
+    assert resolve_trunk_impl("scan_serving") == "scan_serving"
+    with pytest.raises(ValueError, match="unrecognized trunk_kernel"):
+        resolve_trunk_impl("Pallas")
+    with pytest.raises(ValueError, match="unrecognized trunk_kernel"):
+        resolve_trunk_impl(None)
