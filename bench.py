@@ -661,14 +661,15 @@ def main():
         out_f, err_f = proc._bench_files
         try:
             phase(f"collect {name}")
+            deadline_s = max(floor_s, remaining_s())
             try:
-                proc.wait(timeout=max(floor_s, remaining_s()))
+                proc.wait(timeout=deadline_s)
             except subprocess.TimeoutExpired:
                 proc.kill()
                 proc.wait()
                 skipped[name] = (
-                    f"timed out (grace {floor_s}s after the in-process "
-                    "sections)"
+                    f"timed out ({deadline_s:.0f}s deadline at collect, "
+                    "launched right after the timing windows)"
                 )
                 logging.warning("%s timed out", name)
                 return None
